@@ -10,4 +10,13 @@ Reference: microsoft/mageslam (C++; see SURVEY.md for the structural map).
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# SLAM geometry is precision-critical: on TPU the default matmul precision for
+# f32 inputs is bfloat16, which silently destroys pose/triangulation/BA numerics
+# (observed: 0.25-unit triangulation error vs 3e-5 at f32). Force f32 everywhere;
+# throughput-critical kernels (descriptor Hamming-matmuls etc.) opt into bf16
+# explicitly by casting their inputs.
+_jax.config.update("jax_default_matmul_precision", "float32")
+
 from .config import MageSlamSettings, golden_path_settings, load_settings  # noqa: F401

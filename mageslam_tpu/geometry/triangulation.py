@@ -78,25 +78,27 @@ def triangulate_dlt(
 ) -> jax.Array:
     """Two-view DLT triangulation (cv::triangulatePoints analog), batched.
 
-    Solves the 4x3 homogeneous system via 3x3 normal equations (adequate in f32
-    for the well-conditioned two-view case; midpoint is the golden-path method).
+    Works in *normalized camera coordinates* (pixels pre-divided by K) so the
+    4x3 system is well-scaled for f32, then solves via 3x3 normal equations.
     """
 
-    def proj_matrix(cam, pose):
-        K = jnp.zeros(cam.shape[:-1] + (3, 3), cam.dtype)
-        K = K.at[..., 0, 0].set(cam[..., 0]).at[..., 1, 1].set(cam[..., 1])
-        K = K.at[..., 0, 2].set(cam[..., 2]).at[..., 1, 2].set(cam[..., 3])
-        K = K.at[..., 2, 2].set(1.0)
-        Rt = jnp.concatenate([pose.R, pose.t[..., :, None]], axis=-1)
-        return jnp.einsum("...ij,...jk->...ik", K, Rt)  # (...,3,4)
+    def rt_matrix(pose):
+        return jnp.concatenate([pose.R, pose.t[..., :, None]], axis=-1)  # (...,3,4)
 
-    P1 = proj_matrix(cam1, pose1)
-    P2 = proj_matrix(cam2, pose2)
+    P1 = rt_matrix(pose1)
+    P2 = rt_matrix(pose2)
     rows = []
-    for P, px in ((P1, px1), (P2, px2)):
+    for P, cam, px in ((P1, cam1, px1), (P2, cam2, px2)):
+        xn = jnp.stack(
+            [
+                (px[..., 0] - cam[..., 2]) / cam[..., 0],
+                (px[..., 1] - cam[..., 3]) / cam[..., 1],
+            ],
+            axis=-1,
+        )
         P = jnp.broadcast_to(P, px.shape[:-1] + (3, 4))
-        rows.append(px[..., 0:1] * P[..., 2, :] - P[..., 0, :])
-        rows.append(px[..., 1:2] * P[..., 2, :] - P[..., 1, :])
+        rows.append(xn[..., 0:1] * P[..., 2, :] - P[..., 0, :])
+        rows.append(xn[..., 1:2] * P[..., 2, :] - P[..., 1, :])
     A = jnp.stack(rows, axis=-2)  # (...,4,4)
     # homogeneous solve: minimize |A x| with x = [X, 1]: A3 X = -a4
     A3 = A[..., :3]

@@ -1,0 +1,134 @@
+"""Hamming-distance feature matching, batched over whole frames.
+
+Replaces Tracking/FeatureMatcher.cpp: the CPU walks candidate lists from an
+R*-tree and popcounts pairs one by one (NEON path, FeatureMatcher.cpp:448-525);
+on TPU the (N, M) distance matrix for two full frames is tiny, so every matcher
+is a dense masked matrix computation:
+
+  - `hamming_matrix`: XOR+SWAR-popcount on the VPU, or — for large descriptor
+    banks — bit-unpack to {0,1} and one bf16 matmul on the MXU
+    (H = |a| + |b| - 2 a·b, exact: all values are small integers).
+  - `match_two_way`: mutual-best brute-force match with the
+    max-distance + best/second-best ambiguity gates (Match,
+    FeatureMatcher.cpp:61-189).
+  - `radius_match`: the guided matcher. The reference's R*-tree box query
+    (KeypointSpatialIndex.cpp:89-97: Chebyshev |dx|,|dy| <= radius, same octave
+    only — octaveSpacing=100, queryRange=1) becomes a dense boolean mask on the
+    distance matrix.
+
+All matchers return, per query, the best target index (or -1) — fixed shapes,
+no lists.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+BIG = jnp.int32(1 << 20)
+
+
+def popcount_u32(v: jax.Array) -> jax.Array:
+    """Per-element popcount of a uint32 array (SWAR)."""
+    v = v - ((v >> 1) & jnp.uint32(0x55555555))
+    v = (v & jnp.uint32(0x33333333)) + ((v >> 2) & jnp.uint32(0x33333333))
+    v = (v + (v >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return ((v * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
+
+
+def unpack_bits(desc: jax.Array) -> jax.Array:
+    """(N, 8) uint32 → (N, 256) {0,1} float32 bit matrix."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    bits = (desc[:, :, None] >> shifts) & jnp.uint32(1)
+    return bits.reshape(desc.shape[0], 256).astype(jnp.float32)
+
+
+def hamming_matrix(desc_a: jax.Array, desc_b: jax.Array, use_mxu: bool = False) -> jax.Array:
+    """(N, M) int32 Hamming distances between 256-bit descriptors."""
+    if use_mxu:
+        # bf16 matmul is exact here: bits are {0,1} and row sums <= 256
+        a = unpack_bits(desc_a).astype(jnp.bfloat16)
+        b = unpack_bits(desc_b).astype(jnp.bfloat16)
+        dot = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+        na = jnp.sum(a.astype(jnp.float32), axis=1, keepdims=True)
+        nb = jnp.sum(b.astype(jnp.float32), axis=1, keepdims=True)
+        return (na + nb.T - 2.0 * dot).astype(jnp.int32)
+    x = desc_a[:, None, :] ^ desc_b[None, :, :]
+    return jnp.sum(popcount_u32(x), axis=-1)
+
+
+def _best_and_second(dist: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Row-wise (best_idx, best_val, second_val) of an int32 matrix."""
+    best_idx = jnp.argmin(dist, axis=1)
+    best_val = jnp.take_along_axis(dist, best_idx[:, None], axis=1)[:, 0]
+    masked = dist.at[jnp.arange(dist.shape[0]), best_idx].set(BIG)
+    second_val = jnp.min(masked, axis=1)
+    return best_idx.astype(jnp.int32), best_val, second_val
+
+
+@partial(jax.jit, static_argnames=("max_hamming", "min_diff", "use_mxu"))
+def match_two_way(
+    desc_a: jax.Array,
+    valid_a: jax.Array,
+    desc_b: jax.Array,
+    valid_b: jax.Array,
+    max_hamming: int,
+    min_diff: int,
+    use_mxu: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Mutual-best match. Returns (match_b_idx (N,), dist (N,)) with -1 for no
+    match. Gates per the reference's Match: candidates must be <= max_hamming;
+    a row is rejected when its two best in-threshold candidates are closer than
+    min_diff apart (FeatureMatcher.cpp:100-164)."""
+    d = hamming_matrix(desc_a, desc_b, use_mxu)
+    d = jnp.where(valid_a[:, None] & valid_b[None, :], d, BIG)
+    d_thr = jnp.where(d <= max_hamming, d, BIG)  # radiusMatch keeps <= maxDist
+
+    fwd_idx, fwd_best, fwd_second = _best_and_second(d_thr)
+    bwd_idx, bwd_best, bwd_second = _best_and_second(d_thr.T)
+
+    fwd_ok = (fwd_best < BIG) & ((fwd_second >= BIG) | (fwd_second - fwd_best >= min_diff))
+    bwd_ok = (bwd_best < BIG) & ((bwd_second >= BIG) | (bwd_second - bwd_best >= min_diff))
+
+    mutual = bwd_idx[fwd_idx] == jnp.arange(desc_a.shape[0], dtype=jnp.int32)
+    ok = fwd_ok & bwd_ok[fwd_idx] & mutual
+    return jnp.where(ok, fwd_idx, -1), jnp.where(ok, fwd_best, -1)
+
+
+@partial(jax.jit, static_argnames=("use_mxu",))
+def radius_match(
+    query_desc: jax.Array,
+    query_xy: jax.Array,
+    query_octave: jax.Array,
+    query_valid: jax.Array,
+    target_desc: jax.Array,
+    target_xy: jax.Array,
+    target_octave: jax.Array,
+    target_valid: jax.Array,
+    radius: jax.Array,
+    max_hamming: jax.Array,
+    min_diff: jax.Array,
+    use_mxu: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Guided spatial match: per query, best target within the Chebyshev
+    `radius` box on the same octave (PoseEstimator's 3-radius cascade and
+    TrackLocalMap's unassociated-keypoint search both reduce to this).
+
+    radius may be scalar or per-query (N,). Returns (target idx or -1, dist).
+    Acceptance: best <= max_hamming and second_best - best > min_diff
+    (FeatureMatcher.cpp:400-446, with the batch variant's true second-best).
+    """
+    d = hamming_matrix(query_desc, target_desc, use_mxu)
+    radius = jnp.broadcast_to(jnp.asarray(radius, jnp.float32), (query_desc.shape[0],))
+    dx = jnp.abs(query_xy[:, None, 0] - target_xy[None, :, 0])
+    dy = jnp.abs(query_xy[:, None, 1] - target_xy[None, :, 1])
+    in_box = (dx <= radius[:, None]) & (dy <= radius[:, None])
+    same_oct = query_octave[:, None] == target_octave[None, :]
+    cand = in_box & same_oct & query_valid[:, None] & target_valid[None, :]
+
+    d = jnp.where(cand, d, BIG)
+    best_idx, best_val, second_val = _best_and_second(d)
+    ok = (best_val <= max_hamming) & ((second_val >= BIG) | (second_val - best_val > min_diff))
+    return jnp.where(ok, best_idx, -1), jnp.where(ok, best_val, -1)

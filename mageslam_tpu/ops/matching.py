@@ -132,3 +132,24 @@ def radius_match(
     best_idx, best_val, second_val = _best_and_second(d)
     ok = (best_val <= max_hamming) & ((second_val >= BIG) | (second_val - best_val > min_diff))
     return jnp.where(ok, best_idx, -1), jnp.where(ok, best_val, -1)
+
+
+def dedup_by_target(match_idx: jax.Array, dist: jax.Array) -> jax.Array:
+    """Batch RadiusMatch target-dedup (FeatureMatcher.cpp:342-377): when several
+    queries claim the same target keypoint, keep only the strictly-best claim;
+    on a tie for best, drop all claims of that target.
+
+    match_idx: (Q,) target index or -1; dist: (Q,) match distance.
+    Returns match_idx with losing claims reset to -1.
+    """
+    has = match_idx >= 0
+    d = jnp.where(has, dist, BIG)
+    # pairwise comparison over queries (Q ≤ a few thousand → (Q,Q) bools are cheap)
+    same = (match_idx[:, None] == match_idx[None, :]) & has[:, None] & has[None, :]
+    better_exists = jnp.any(same & (d[None, :] < d[:, None]), axis=1)
+    tie_exists = jnp.any(
+        same & (d[None, :] == d[:, None]) & (jnp.arange(d.shape[0])[None, :] != jnp.arange(d.shape[0])[:, None]),
+        axis=1,
+    )
+    keep = has & jnp.logical_not(better_exists) & jnp.logical_not(tie_exists)
+    return jnp.where(keep, match_idx, -1)

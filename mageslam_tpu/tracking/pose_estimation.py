@@ -1,0 +1,152 @@
+"""Pose estimation: motion-model prior + guided matching against history frames.
+
+Replaces Tracking/PoseEstimator.{h,cpp}:
+  - `estimate_next_pose_from_history` — constant-velocity extrapolation of the
+    two extreme history poses (EstimateNextPoseFromHistory,
+    PoseEstimator.cpp:89-133; the golden path's MotionModelPriorProvider)
+  - `estimate_pose_with_prior` — project the history frames' map points with
+    the prior pose and run the 3-radius guided match cascade 12→24→36 px
+    (TryEstimatePoseFromKeyframe, PoseEstimator.cpp:439-607). The third,
+    widest search centers on the reference keypoints' own positions, not the
+    projections (the `nullptr` predictedPositions call at :568-580).
+
+On TPU the per-point loops become whole-bank ops: all H×N history associations
+project at once; deduplication keeps the newest frame's observation of each
+map point; each cascade stage is one masked distance-matrix radius match.
+The relocalization path (BoW candidates + PnP-RANSAC) lives in `relocalization`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.se3 import Pose, interpolate_pose
+from ..ops.matching import dedup_by_target, radius_match
+from .frame_state import TrackedFrame, TrackingHistory
+
+_BIG = jnp.int32(1 << 20)
+
+
+def estimate_next_pose_from_history(history: TrackingHistory,
+                                    next_time: jax.Array) -> Pose:
+    """Constant-velocity prior: extrapolate from oldest→newest history poses
+    to `next_time` (PoseEstimator.cpp:89-133: slerp delta rotation + lerp
+    translation, scaled by the time ratio)."""
+    n_valid = jnp.sum(history.valid.astype(jnp.int32))
+    newest = Pose(history.poses.R[0], history.poses.t[0])
+    oldest_idx = jnp.maximum(n_valid - 1, 0)
+    oldest = Pose(history.poses.R[oldest_idx], history.poses.t[oldest_idx])
+
+    dt_hist = history.timestamps[0] - history.timestamps[oldest_idx]
+    dt_next = next_time - history.timestamps[0]
+    ratio = jnp.where(dt_hist > 1e-6, dt_next / dt_hist, 0.0)
+
+    # interpolate_pose(older, newer, 1 + ratio) extrapolates past the newer pose
+    predicted = interpolate_pose(oldest, newest, 1.0 + ratio)
+    single = n_valid <= 1
+    return Pose(
+        jnp.where(single, newest.R, predicted.R),
+        jnp.where(single, newest.t, predicted.t),
+    )
+
+
+class GuidedMatchResult(NamedTuple):
+    assoc: jax.Array        # (N,) int32 — per current-frame keypoint, map point slot or -1
+    match_count: jax.Array  # () int32
+    succeeded: jax.Array    # () bool
+
+
+def estimate_pose_with_prior(
+    frame: TrackedFrame,
+    history: TrackingHistory,
+    mp_pos: jax.Array,           # (P, 3) map point positions
+    mp_valid: jax.Array,         # (P,) bool
+    mp_refine_count: jax.Array,  # (P,) int32
+    minimum_feature_matches: int = 15,
+    search_radius: float = 12.0,
+    wider_search_radius: float = 24.0,
+    extra_wider_search_radius: float = 36.0,
+    small_match_ratio: float = 0.333780871615353,
+    max_hamming: int = 45,
+    min_hamming_diff: int = 8,
+    min_refinement_count: int = 0,
+) -> GuidedMatchResult:
+    """The prior tracking path. `frame.pose` must already hold the prior.
+
+    Candidate set: every map point associated in any history frame (newest
+    occurrence wins), refined ≥ min_refinement_count, projecting in front of
+    the camera. Each cascade stage only runs if the previous found too few
+    matches (matchCount < min or accuracy < ratio) — evaluated branchlessly
+    by selecting per-stage results.
+    """
+    H, N = history.assoc.shape
+    P = mp_valid.shape[0]
+
+    # ---- flatten history associations, newest frame first (dedup: first wins) ----
+    flat_assoc = history.assoc.reshape(-1)                           # (H*N,)
+    flat_xy = history.kp_xy.reshape(-1, 2)
+    flat_desc = history.desc.reshape(-1, 8)
+    frame_valid = jnp.repeat(history.valid, N)
+    a_ok = (flat_assoc >= 0) & frame_valid
+    a_safe = jnp.where(a_ok, flat_assoc, 0)
+    a_ok = a_ok & mp_valid[a_safe] & (mp_refine_count[a_safe] >= min_refinement_count)
+
+    # dedup by map point: keep the first (newest-frame) occurrence
+    order = jnp.arange(H * N, dtype=jnp.int32)
+    first_occurrence = jnp.full((P,), _BIG, jnp.int32).at[a_safe].min(
+        jnp.where(a_ok, order, _BIG)
+    )
+    is_first = a_ok & (first_occurrence[a_safe] == order)
+
+    # ---- project candidate points with the prior pose ----
+    pts = mp_pos[a_safe]                                             # (H*N, 3)
+    Xc = frame.pose.transform(pts)
+    z = Xc[:, 2]
+    inv_z = 1.0 / jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+    u = frame.cam[0] * Xc[:, 0] * inv_z + frame.cam[2]
+    v = frame.cam[1] * Xc[:, 1] * inv_z + frame.cam[3]
+    predicted = jnp.stack([u, v], axis=-1)
+    cand = is_first & (z >= 0)                                       # Distance >= 0 gate
+    n_candidates = jnp.sum(cand.astype(jnp.int32))
+
+    # query octave comes from the observing keyframe's keypoint — the history
+    # stores undistorted positions; octave is re-derived as level 0 for the
+    # golden path (single pyramid level). For multi-level configs the history
+    # would carry octaves; use 0s matched against target octave 0..L.
+    q_oct = jnp.zeros((H * N,), jnp.int32)
+
+    def stage(q_xy, extra_radius):
+        idx, dist = radius_match(
+            flat_desc, q_xy, q_oct, cand,
+            frame.desc, frame.kp_xy, jnp.zeros((N,), jnp.int32), frame.kp_valid,
+            jnp.float32(extra_radius), jnp.int32(max_hamming), jnp.int32(min_hamming_diff),
+        )
+        idx = dedup_by_target(idx, dist)
+        return idx, jnp.sum((idx >= 0).astype(jnp.int32))
+
+    idx1, n1 = stage(predicted, search_radius)
+    idx2, n2 = stage(predicted, wider_search_radius)
+    idx3, n3 = stage(flat_xy, extra_wider_search_radius)             # own positions
+
+    denom = jnp.maximum(n_candidates.astype(jnp.float32), 1.0)
+    ok1 = (n1 >= minimum_feature_matches) & (n1.astype(jnp.float32) / denom >= small_match_ratio)
+    ok2 = (n2 >= minimum_feature_matches) & (n2.astype(jnp.float32) / denom >= small_match_ratio)
+
+    use1 = ok1
+    use2 = jnp.logical_not(ok1) & ok2
+    use3 = jnp.logical_not(ok1) & jnp.logical_not(ok2)
+    idx = jnp.where(use1, idx1, jnp.where(use2, idx2, idx3))
+    count = jnp.where(use1, n1, jnp.where(use2, n2, n3))
+
+    # invert: per current-frame keypoint, which map point
+    has = idx >= 0
+    t_safe = jnp.where(has, idx, 0)
+    assoc = jnp.full((N,), -1, jnp.int32).at[t_safe].max(
+        jnp.where(has, a_safe, -1)
+    )
+    ok = count >= minimum_feature_matches
+    assoc = jnp.where(ok, assoc, -1)
+    return GuidedMatchResult(assoc=assoc, match_count=count, succeeded=ok)

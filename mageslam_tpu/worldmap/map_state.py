@@ -1,0 +1,248 @@
+"""MapState: keyframe + map point banks as one pytree of padded arrays.
+
+The reference's model state is a pointer graph (Map/Map.h: Keyframe* /
+MapPoint* with bidirectional association lists). TPU-first it becomes:
+
+  - keyframe bank, capacity K (Budgets.MaxKeyframes)
+  - map point bank, capacity P (Budgets.MaxMapPoints)
+  - one (K, N) association matrix: feature slot → map point slot or -1
+    (Containers/MapPointAssociations.{h,cpp} kept two hash maps + masks;
+    the matrix IS both directions: row read = keyframe's points, masked
+    column scan = point's keyframes)
+
+Derived structures (membership/covisibility, per-point octave histograms,
+mean view directions) are recomputed by batched reductions when needed —
+cheaper on TPU than maintaining the reference's incremental caches
+(MapPoint.cpp m_octaveCounters, CovisibilityGraph's sparse adjacency).
+
+Map point statistics mirror MapPoint::UpdateMeanViewDirectionAndDistances and
+UpdateRepresentativeDescriptor (Map/MapPoint.cpp:80-160), with dMin/dMax from
+Map/MappingMath.h:32-41.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.se3 import Pose
+
+INVALID = jnp.int32(-1)
+
+
+class MapState(NamedTuple):
+    """All SLAM map state. K keyframe slots, P point slots, N feature slots."""
+
+    # --- keyframes ---
+    kf_valid: jax.Array      # (K,) bool
+    kf_fixed: jax.Array      # (K,) bool — fixed in BA (externally tethered)
+    kf_immortal: jax.Array   # (K,) bool — never culled (init keyframes; Keyframe::IsImmortal)
+    kf_pose: Pose            # R (K,3,3), t (K,3) world→camera
+    kf_cam: jax.Array        # (K, 4) fx,fy,cx,cy — undistorted pinhole (matching/BA space)
+    kf_frame_id: jax.Array   # (K,) int32 source frame id
+    kf_order: jax.Array      # (K,) int32 insertion sequence number (monotonic)
+
+    # per-keyframe features (from FrameFeatures)
+    kf_kp_xy: jax.Array      # (K, N, 2) f32 undistorted pixel coords
+    kf_kp_octave: jax.Array  # (K, N) int32
+    kf_desc: jax.Array       # (K, N, 8) uint32 rBRIEF
+    kf_kp_valid: jax.Array   # (K, N) bool
+    kf_assoc: jax.Array      # (K, N) int32 → point slot, or -1
+
+    # --- map points ---
+    mp_valid: jax.Array          # (P,) bool
+    mp_pos: jax.Array            # (P, 3) f32 world position
+    mp_desc: jax.Array           # (P, 8) uint32 representative descriptor
+    mp_mean_dir: jax.Array       # (P, 3) f32 mean viewing direction (unit)
+    mp_dmin: jax.Array           # (P,) f32 min valid viewing distance
+    mp_dmax: jax.Array           # (P,) f32 max valid viewing distance
+    mp_refine_count: jax.Array   # (P,) int32 — BA refinements (information scaling)
+    mp_created_order: jax.Array  # (P,) int32 — kf_order epoch at creation (recent-culling)
+    mp_found: jax.Array          # (P,) int32 — times found by tracking (TrackLocalMap.cpp:68-86)
+    mp_predicted: jax.Array      # (P,) int32 — times predicted visible
+
+    # --- counters ---
+    next_order: jax.Array        # () int32 — next keyframe insertion sequence number
+
+    @property
+    def capacity(self) -> tuple[int, int, int]:
+        K, N = self.kf_assoc.shape
+        return K, self.mp_valid.shape[0], N
+
+    def keyframe_centers(self) -> jax.Array:
+        """(K, 3) camera centers in world space."""
+        return self.kf_pose.center()
+
+
+def empty_map(max_keyframes: int, max_points: int, max_features: int) -> MapState:
+    K, P, N = max_keyframes, max_points, max_features
+    return MapState(
+        kf_valid=jnp.zeros((K,), bool),
+        kf_fixed=jnp.zeros((K,), bool),
+        kf_immortal=jnp.zeros((K,), bool),
+        kf_pose=Pose.identity((K,)),
+        kf_cam=jnp.tile(jnp.array([[1.0, 1.0, 0.0, 0.0]], jnp.float32), (K, 1)),
+        kf_frame_id=jnp.full((K,), -1, jnp.int32),
+        kf_order=jnp.full((K,), -1, jnp.int32),
+        kf_kp_xy=jnp.zeros((K, N, 2), jnp.float32),
+        kf_kp_octave=jnp.zeros((K, N), jnp.int32),
+        kf_desc=jnp.zeros((K, N, 8), jnp.uint32),
+        kf_kp_valid=jnp.zeros((K, N), bool),
+        kf_assoc=jnp.full((K, N), INVALID, jnp.int32),
+        mp_valid=jnp.zeros((P,), bool),
+        mp_pos=jnp.zeros((P, 3), jnp.float32),
+        mp_desc=jnp.zeros((P, 8), jnp.uint32),
+        mp_mean_dir=jnp.zeros((P, 3), jnp.float32),
+        mp_dmin=jnp.zeros((P,), jnp.float32),
+        mp_dmax=jnp.zeros((P,), jnp.float32),
+        mp_refine_count=jnp.zeros((P,), jnp.int32),
+        mp_created_order=jnp.full((P,), -1, jnp.int32),
+        mp_found=jnp.zeros((P,), jnp.int32),
+        mp_predicted=jnp.zeros((P,), jnp.int32),
+        next_order=jnp.int32(0),
+    )
+
+
+def free_slots(valid: jax.Array, count: int) -> jax.Array:
+    """Indices of the first `count` free slots (static count). Slots beyond the
+    available free space return the last free slot repeated — callers must mask
+    writes with `allocation_ok`."""
+    order = jnp.argsort(valid.astype(jnp.int32), stable=True)  # free slots first
+    return order[:count].astype(jnp.int32)
+
+
+def allocation_ok(valid: jax.Array, want: jax.Array) -> jax.Array:
+    """(count,) bool — for each of `want` (bool mask of requested allocations,
+    ordered), whether a free slot genuinely exists."""
+    n_free = jnp.sum(jnp.logical_not(valid).astype(jnp.int32))
+    ranks = jnp.cumsum(want.astype(jnp.int32)) - 1          # allocation rank per request
+    return want & (ranks < n_free)
+
+
+def compute_dmin_dmax(distance: jax.Array, octave: jax.Array, num_levels: int,
+                      scale_factor: float) -> tuple[jax.Array, jax.Array]:
+    """Scale-invariance viewing range (Map/MappingMath.h:32-41): the half-octave
+    offset models 'best matches are near the target octave'."""
+    oct_f = octave.astype(jnp.float32)
+    dmax = distance * scale_factor ** (num_levels - (oct_f + 0.5))
+    dmin = distance * scale_factor ** (-(oct_f + 0.5))
+    return dmin, dmax
+
+
+def predict_octave(distance: jax.Array, dmin: jax.Array, scale_factor: float) -> jax.Array:
+    """ComputeOctave (MappingMath.h:13-16): expected pyramid level when viewing
+    a point from `distance` given its dMin."""
+    ratio = jnp.maximum(distance / jnp.maximum(dmin, 1e-12), 1e-12)
+    return jnp.round(
+        jnp.log2(ratio) / jnp.log2(jnp.float32(scale_factor)) - 0.5
+    ).astype(jnp.int32)
+
+
+def refinement_confidence(refine_count: jax.Array) -> jax.Array:
+    """MapPointRefinementConfidence (MappingMath.h:43-50): observation
+    information scaling approaching 1 after ~5 refinements."""
+    rc = refine_count.astype(jnp.float32)
+    return 1.0 - 1.0 / (1.5 + rc) ** 2
+
+
+def point_keyframe_matrix(state: MapState) -> jax.Array:
+    """(K, P) bool membership: keyframe k observes point p. One scatter from the
+    association matrix — the derived form of MapPoint::GetKeyframes()."""
+    K, P, N = state.capacity
+    assoc = state.kf_assoc
+    valid = (assoc >= 0) & state.kf_kp_valid & state.kf_valid[:, None]
+    pt = jnp.where(valid, assoc, 0)
+    member = jnp.zeros((K, P), bool)
+    rows = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[:, None], (K, N))
+    return member.at[rows, pt].max(valid)
+
+
+def point_octave_histogram(state: MapState, num_levels: int) -> jax.Array:
+    """(P, L) int32: per map point, how many observing keyframes see it at each
+    pyramid level (MapPoint m_octaveCounters, MapPoint.h:124-131 — derived here)."""
+    K, P, N = state.capacity
+    assoc = state.kf_assoc
+    valid = (assoc >= 0) & state.kf_kp_valid & state.kf_valid[:, None]
+    pt = jnp.where(valid, assoc, 0).reshape(-1)
+    octv = jnp.clip(state.kf_kp_octave, 0, num_levels - 1).reshape(-1)
+    hist = jnp.zeros((P, num_levels), jnp.int32)
+    return hist.at[pt, octv].add(valid.reshape(-1).astype(jnp.int32))
+
+
+def observation_counts(state: MapState) -> jax.Array:
+    """(P,) int32 — number of keyframes observing each point."""
+    return jnp.sum(point_keyframe_matrix(state).astype(jnp.int32), axis=0)
+
+
+def refresh_point_stats(state: MapState, touched: jax.Array, num_levels: int,
+                        scale_factor: float, max_obs_kf: int = 16) -> MapState:
+    """Recompute mean view direction, representative descriptor and dMin/dMax
+    for points flagged in `touched` (P,) bool.
+
+    Mirrors MapPoint::UpdateRepresentativeDescriptor (medoid descriptor over
+    observing keyframes, MapPoint.cpp:80-131) and
+    UpdateMeanViewDirectionAndDistances (MapPoint.cpp:133-160). The medoid is
+    computed over the first `max_obs_kf` observing keyframes (insertion order) —
+    a bounded-budget deviation; points are rarely seen by >16 keyframes and the
+    medoid is only used to pick a "typical" descriptor.
+    """
+    from ..ops.matching import popcount_u32
+
+    K, P, N = state.capacity
+    member = point_keyframe_matrix(state)                     # (K, P)
+    n_obs = jnp.sum(member.astype(jnp.int32), axis=0)         # (P,)
+
+    # mean viewing direction: normalize( Σ_k normalize(pos_p - C_k) )
+    centers = state.keyframe_centers()                        # (K, 3)
+    delta = state.mp_pos[None, :, :] - centers[:, None, :]    # (K, P, 3)
+    norm = jnp.linalg.norm(delta, axis=-1, keepdims=True)
+    unit = delta / jnp.maximum(norm, 1e-12)
+    mean_dir = jnp.sum(jnp.where(member[..., None], unit, 0.0), axis=0)
+    mean_dir = mean_dir / jnp.maximum(jnp.linalg.norm(mean_dir, axis=-1, keepdims=True), 1e-12)
+
+    # top max_obs_kf observing keyframes per point (by keyframe slot order)
+    # score: valid → kf slot index, invalid → K (sorted to the back)
+    obs_rank = jnp.where(member, jnp.arange(K, dtype=jnp.int32)[:, None], K)
+    top_kf = jnp.argsort(obs_rank, axis=0)[:max_obs_kf].T      # (P, max_obs_kf)
+    top_ok = jnp.take_along_axis(member.T, top_kf, axis=1)     # (P, max_obs_kf)
+
+    # each observing keyframe's feature index for this point: argmax over the
+    # association row (assoc[k] == p)
+    # gather per (p, j): feature index where kf_assoc[top_kf] == p
+    def feat_index(kf_idx, p_idx):
+        row = state.kf_assoc[kf_idx]                           # (N,)
+        hit = row == p_idx
+        return jnp.argmax(hit).astype(jnp.int32), jnp.any(hit)
+
+    p_ids = jnp.arange(P, dtype=jnp.int32)[:, None].repeat(max_obs_kf, axis=1)
+    feat_idx, feat_ok = jax.vmap(jax.vmap(feat_index))(top_kf, p_ids)
+    ok = top_ok & feat_ok                                      # (P, max_obs_kf)
+
+    descs = state.kf_desc[top_kf, feat_idx]                    # (P, J, 8) uint32
+    octaves = state.kf_kp_octave[top_kf, feat_idx]             # (P, J)
+
+    # medoid: minimize summed Hamming distance to the others
+    x = descs[:, :, None, :] ^ descs[:, None, :, :]            # (P, J, J, 8)
+    d = jnp.sum(popcount_u32(x), axis=-1)                      # (P, J, J)
+    pair_ok = ok[:, :, None] & ok[:, None, :]
+    summed = jnp.sum(jnp.where(pair_ok, d, 0), axis=-1)        # (P, J)
+    summed = jnp.where(ok, summed, jnp.iinfo(jnp.int32).max)
+    rep = jnp.argmin(summed, axis=-1)                          # (P,)
+    rep_desc = jnp.take_along_axis(descs, rep[:, None, None], axis=1)[:, 0]
+    rep_kf = jnp.take_along_axis(top_kf, rep[:, None], axis=1)[:, 0]
+    rep_oct = jnp.take_along_axis(octaves, rep[:, None], axis=1)[:, 0]
+
+    # dMin/dMax from the representative keyframe's distance + octave
+    rep_center = centers[rep_kf]                               # (P, 3)
+    dist = jnp.linalg.norm(state.mp_pos - rep_center, axis=-1)
+    dmin, dmax = compute_dmin_dmax(dist, rep_oct, num_levels, scale_factor)
+
+    upd = touched & state.mp_valid & (n_obs > 0)
+    return state._replace(
+        mp_mean_dir=jnp.where(upd[:, None], mean_dir, state.mp_mean_dir),
+        mp_desc=jnp.where(upd[:, None], rep_desc, state.mp_desc),
+        mp_dmin=jnp.where(upd, dmin, state.mp_dmin),
+        mp_dmax=jnp.where(upd, dmax, state.mp_dmax),
+    )

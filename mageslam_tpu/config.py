@@ -413,6 +413,8 @@ class Budgets:
     MaxMapPoints: int = 8192        # map point capacity
     MaxBaCameras: int = 32          # local BA camera window capacity
     MaxBaPoints: int = 2048         # local BA point capacity
+    MaxBaObservations: int = 4096   # local BA observation capacity (>2000 target)
+    MaxGlobalBaObservations: int = 16384  # global BA observation capacity
     TrackingHistoryLength: int = 5  # historical_queue<HistoricalFrame, 5>
     BaPointChunk: int = 512         # lax.scan chunk for Schur accumulation
     MaxInitFrames: int = 4          # mono-init frame accumulator capacity

@@ -141,14 +141,22 @@ def _find_real_roots(coeffs: jax.Array, bisect_iters: int = 40) -> tuple[jax.Arr
     hi = grid[take + 1]
 
     # vectorized bisection: evaluate det at midpoints each iteration
-    f_lo = _det_m_multi(coeffs, lo)
-    for _ in range(bisect_iters):
+    # (fori_loop keeps the compiled graph small — 40 unrolled 10×10-det
+    # evaluations made XLA compile times explode)
+    f_lo0 = _det_m_multi(coeffs, lo)
+
+    def body(_, carry):
+        lo, hi, f_lo = carry
         mid = 0.5 * (lo + hi)
         f_mid = _det_m_multi(coeffs, mid)
         left = (jnp.sign(f_lo) * jnp.sign(f_mid)) <= 0
-        hi = jnp.where(left, mid, hi)
-        lo = jnp.where(left, lo, mid)
-        f_lo = jnp.where(left, f_lo, f_mid)
+        return (
+            jnp.where(left, lo, mid),
+            jnp.where(left, mid, hi),
+            jnp.where(left, f_lo, f_mid),
+        )
+
+    lo, hi, _ = jax.lax.fori_loop(0, bisect_iters, body, (lo, hi, f_lo0))
     roots = 0.5 * (lo + hi)
     return roots, valid
 

@@ -1,0 +1,522 @@
+"""The per-frame SLAM pipeline: analyze → init-or-track → keyframe → mapping.
+
+Replaces Tasks/Runtime.{h,cpp} (TrackMono :367, TrackFrame :165, the
+tracking/mapping schedule :512-631) and the worker classes. The host drives a
+small state machine over separately-jitted phase functions — the TPU-native
+form of the reference's dispatcher threads + named rendezvous states:
+
+  host flags (initialized / lost / keyframe-pending) choose which compiled
+  function runs next; each compiled function is a full batched phase. This is
+  exactly the split the reference makes between its always-running tracking
+  path and its rarely-triggered mapping/loop-closure work.
+
+States mirror Runtime.cpp FinalizeFrame (:273-303): TRACKING / SKIPPED /
+INITIALIZING / RELOCALIZING, with TrackingLostCountUntilReloc consecutive
+failures flipping to relocalization (MageSettings.h:191, Runtime.cpp:281-302).
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ba import BAState
+from ..ba.step import step_bundle_adjust
+from ..config import MageSlamSettings, golden_path_settings
+from ..geometry.se3 import Pose
+from ..ops.frontend import FrameFeatures, detect_and_compute
+from ..tracking.frame_state import TrackedFrame, TrackingHistory
+from ..tracking.keyframe_decision import KeyframeDecisionInput, is_new_keyframe
+from ..tracking.map_init import InitSettings, try_initialize_pair
+from ..tracking.pose_estimation import (
+    estimate_next_pose_from_history,
+    estimate_pose_with_prior,
+)
+from ..tracking.track_local_map import track_local_map
+from ..worldmap.ba_window import apply_ba_results, build_local_ba_window
+from ..worldmap.covisibility import covisibility_matrix, membership_matrix
+from ..worldmap.map_state import MapState, empty_map, refresh_point_stats
+from ..worldmap.new_points import create_new_map_points
+from ..worldmap.operations import (
+    cull_local_keyframes,
+    cull_recent_map_points,
+    insert_keyframe,
+)
+from .pose_history import PoseHistory
+
+
+class TrackingState(enum.Enum):
+    INITIALIZING = 0
+    TRACKING = 1
+    RELOCALIZING = 2
+    SKIPPED = 3
+
+
+class FrameResult(NamedTuple):
+    frame_id: int
+    state: TrackingState
+    pose: Pose | None          # world→camera when tracked
+    tracked_count: int
+    is_keyframe: bool
+
+
+class SlamSession:
+    """MAGESlam-equivalent facade for monocular tracking (MageSlam.h:25-187).
+
+    Host-side object owning the device-resident map/tracking state and the
+    frame loop. `process_frame(image)` is the ProcessFrame analogue (returns
+    the result synchronously — the async future plumbing of the reference is
+    the caller's concern on TPU, where the host feeds frames ahead).
+    """
+
+    def __init__(self, settings: MageSlamSettings | None = None,
+                 cam: jax.Array | None = None,
+                 image_width: int = 320, image_height: int = 180,
+                 seed: int = 1234):
+        self.settings = settings or golden_path_settings()
+        b = self.settings.Budgets
+        self.fes = self.settings.MonoSettings.MonoCamera.FeatureExtractorSettings
+        self.width = image_width
+        self.height = image_height
+        # undistorted pinhole intrinsics (4,) used for matching/BA space
+        self.cam = cam if cam is not None else jnp.array(
+            [image_width * 0.82, image_width * 0.82,
+             image_width / 2.0, image_height / 2.0], jnp.float32)
+        self.cam16 = jnp.zeros((16,), jnp.float32).at[0].set(self.cam[0]) \
+            .at[1].set(self.cam[1]).at[2].set(self.cam[2]).at[3].set(self.cam[3]) \
+            .at[12].set(image_width).at[13].set(image_height)
+
+        self.N = b.MaxFeatures
+        self.map = empty_map(b.MaxKeyframes, b.MaxMapPoints, self.N)
+        self.history = TrackingHistory.empty(b.TrackingHistoryLength, self.N)
+        self.pose_history = PoseHistory.empty(4096)
+        self.key = jax.random.PRNGKey(seed)
+
+        self._track_core = self._build_track_core()
+        self._post_core = self._build_post_core()
+        self._mapping_core = self._build_mapping_core()
+
+        self.initialized = False
+        self.lost_count = 0
+        self.frames_since_keyframe = 0
+        self.frames_since_reloc = 10_000
+        self.map_scale = 1.0
+        self.last_kf_slot = 0
+        self.prev_features: FrameFeatures | None = None
+        self.prev_meta: tuple[int, float] | None = None  # (frame_id, timestamp)
+        self.results: list[FrameResult] = []
+
+    # ------------------------------------------------------------------ #
+    def process_frame(self, image: np.ndarray | jax.Array,
+                      timestamp: float, frame_id: int) -> FrameResult:
+        """Analyze + track one grayscale frame (H, W) float32 [0,255]."""
+        feats = detect_and_compute(
+            jnp.asarray(image, jnp.float32), self.cam16, self.fes, self.N
+        )
+        return self.process_features(feats, timestamp, frame_id)
+
+    def process_features(self, feats: FrameFeatures, timestamp: float,
+                         frame_id: int) -> FrameResult:
+        if not self.initialized:
+            result = self._try_initialize(feats, timestamp, frame_id)
+        else:
+            result = self._track(feats, timestamp, frame_id)
+        self.results.append(result)
+        return result
+
+    # ------------------------------------------------------------------ #
+    def _frame(self, feats: FrameFeatures, pose: Pose, timestamp, frame_id,
+               assoc=None) -> TrackedFrame:
+        return TrackedFrame(
+            pose=pose, cam=self.cam,
+            kp_xy=feats.und_xy, kp_octave=feats.octave, desc=feats.desc,
+            kp_valid=feats.valid,
+            assoc=assoc if assoc is not None
+            else jnp.full((self.N,), -1, jnp.int32),
+            timestamp=jnp.float32(timestamp), frame_id=jnp.int32(frame_id),
+        )
+
+    def _try_initialize(self, feats, timestamp, frame_id) -> FrameResult:
+        ms = self.settings.MonoSettings.MonoMapInitializationSettings
+        ok = False
+        attempted = False
+        if self.prev_features is not None:
+            dt_ms = (timestamp - self.prev_meta[1]) * 1000.0
+            if dt_ms > ms.MaxInitializationIntervalMilliseconds:
+                self.prev_features = None            # too old — restart window
+            elif dt_ms >= ms.MinInitializationIntervalMilliseconds:
+                attempted = True
+                self.key, sub = jax.random.split(self.key)
+                res = try_initialize_pair(
+                    self.prev_features.und_xy, self.prev_features.desc,
+                    self.prev_features.valid,
+                    feats.und_xy, feats.desc, feats.valid,
+                    self.cam, sub,
+                    InitSettings(
+                        min_feature_matches=ms.MinFeatureMatches,
+                        min_map_points=ms.MinMapPoints,
+                        ransac_iterations=ms.RansacIterationsForModels,
+                    ),
+                    ransac_batch=self.settings.Budgets.RansacBatch,
+                )
+                ok = bool(res.succeeded)
+                if ok:
+                    self._adopt_initialization(res, feats, timestamp, frame_id)
+        # anchor management (MapInitialization frame accumulator semantics:
+        # hold the anchor while the pair interval grows toward the max window —
+        # failed attempts retry with a longer baseline next frame; the window
+        # reset above (>540 ms) restarts from scratch, MapInitialization.cpp:498-536)
+        del attempted
+        if self.prev_features is None:
+            self.prev_features = feats
+            self.prev_meta = (frame_id, timestamp)
+        if ok:
+            return FrameResult(frame_id, TrackingState.TRACKING,
+                               Pose(self.map.kf_pose.R[1], self.map.kf_pose.t[1]),
+                               int(jnp.sum(self.map.kf_assoc[1] >= 0)), True)
+        return FrameResult(frame_id, TrackingState.INITIALIZING, None, 0, False)
+
+    def _adopt_initialization(self, res, feats, timestamp, frame_id):
+        """InitializationWorker: build the map from the accepted pair
+        (InitializationWorker.cpp:44-90 + ThreadSafeMap::InitializeMap)."""
+        prev = self.prev_features
+        ok = np.array(res.point_valid)
+        slots_np = np.full(self.N, -1, np.int32)
+        slots_np[np.where(ok)[0]] = np.arange(int(ok.sum()))
+        # map point bank: first M slots
+        M = int(ok.sum())
+        P = self.map.mp_valid.shape[0]
+        pos = np.zeros((P, 3), np.float32)
+        pos[:M] = np.array(res.points)[ok]
+        desc = np.zeros((P, 8), np.uint32)
+        desc[:M] = np.array(prev.desc)[ok]
+        self.map = self.map._replace(
+            mp_valid=jnp.asarray(np.arange(P) < M),
+            mp_pos=jnp.asarray(pos),
+            mp_desc=jnp.asarray(desc),
+            mp_refine_count=jnp.zeros((P,), jnp.int32).at[:M].set(1),
+            mp_created_order=jnp.full((P,), -1, jnp.int32).at[:M].set(0),
+        )
+        assoc1 = jnp.asarray(slots_np)
+        feat2 = np.array(res.feat2)
+        slots2_np = np.full(self.N, -1, np.int32)
+        slots2_np[feat2[ok]] = slots_np[np.where(ok)[0]]
+        assoc2 = jnp.asarray(slots2_np)
+
+        # frame 1 = identity (fixed + immortal), frame 2 = recovered pose
+        self.map, s1 = insert_keyframe(
+            self.map, Pose.identity(), self.cam, jnp.int32(self.prev_meta[0]),
+            prev.und_xy, prev.octave, prev.desc, prev.valid, assoc1,
+            fixed=True, immortal=True,
+        )
+        self.map, s2 = insert_keyframe(
+            self.map, res.pose2, self.cam, jnp.int32(frame_id),
+            feats.und_xy, feats.octave, feats.desc, feats.valid, assoc2,
+            fixed=False, immortal=True,
+        )
+        fes = self.fes
+        self.map = refresh_point_stats(
+            self.map, jnp.ones((P,), bool), fes.NumLevels, fes.ScaleFactor
+        )
+        # map scale = median keyframe distance (ThreadSafeMap map-scale stats);
+        # with two keyframes this is their baseline
+        self.map_scale = float(jnp.linalg.norm(res.pose2.center()))
+
+        # seed tracking history + pose history with both frames
+        f1 = self._frame(prev, Pose.identity(), self.prev_meta[1],
+                         self.prev_meta[0], assoc1)
+        f2 = self._frame(feats, res.pose2, timestamp, frame_id, assoc2)
+        self.history = self.history.advance(f1).advance(f2)
+        self.pose_history = self.pose_history.add(
+            self.prev_meta[0], Pose.identity(), Pose.identity(), 0)
+        self.pose_history = self.pose_history.add(
+            frame_id, res.pose2,
+            Pose(self.map.kf_pose.R[1], self.map.kf_pose.t[1]), 1)
+        self.initialized = True
+        self.lost_count = 0
+        self.frames_since_keyframe = 0
+        self.last_kf_slot = 1
+
+    # ------------------------------------------------------------------ #
+    def _build_track_core(self):
+        """One jitted function for the entire per-frame tracking fast path:
+        motion prior → guided match cascade → two-stage track-local-map.
+        This is the compiled step the reference spread over three dispatcher
+        threads (Runtime.cpp:367-399) — on TPU it is a single dispatch."""
+        ts = self.settings.TrackLocalMapSettings
+        ps = self.settings.PoseEstimationSettings
+        fes = self.fes
+        width, height = self.width, self.height
+
+        def core(map_state: MapState, history: TrackingHistory,
+                 frame: TrackedFrame):
+            prior = estimate_next_pose_from_history(history, frame.timestamp)
+            frame = frame._replace(pose=prior)
+            gm = estimate_pose_with_prior(
+                frame, history, map_state.mp_pos, map_state.mp_valid,
+                map_state.mp_refine_count,
+                minimum_feature_matches=ps.FeatureMatchThreshold,
+                search_radius=ps.SearchRadius,
+                wider_search_radius=ps.WiderSearchRadius,
+                extra_wider_search_radius=ps.ExtraWiderSearchRadius,
+                small_match_ratio=ps.FeatureSmallMatchRatioThreshold,
+                max_hamming=ps.OrbMatcherSettings.MaxHammingDistance,
+                min_hamming_diff=ps.OrbMatcherSettings.MinHammingDifference,
+                min_refinement_count=ps.MinMapPointRefinementCount,
+            )
+            frame = frame._replace(assoc=gm.assoc)
+            res = track_local_map(
+                frame, map_state, map_state.mp_valid,
+                num_levels=fes.NumLevels, pyramid_scale=fes.ScaleFactor,
+                image_width=width, image_height=height,
+                image_border=fes.PatchSize / 2.0,
+                min_degrees_view_angle=ts.MinDegreesBetweenCurrentViewAndMapPointView,
+                match_search_radius=ts.MatchSearchRadius,
+                max_hamming=ts.OrbMatcherSettings.MaxHammingDistance,
+                min_hamming_diff=ts.OrbMatcherSettings.MinHammingDifference,
+                min_refinement_count=ts.MinMapPointRefinementCount,
+                max_outlier_error=ts.MaxOutlierError,
+                max_outlier_error_pose_estimation=ts.MaxOutlierErrorPoseEstimation,
+                min_tracked_features=ts.MinTrackedFeatureCount,
+            )
+            success = gm.succeeded & res.succeeded
+            return res._replace(succeeded=success)
+
+        return jax.jit(core)
+
+    def _build_post_core(self):
+        """Jitted per-frame bookkeeping: found/predicted scoring, tracking
+        history advance, pose-history record against the nearest keyframe,
+        and the new-keyframe decision — one dispatch per tracked frame."""
+        ks = self.settings.KeyframeSettings
+        width, height = self.width, self.height
+
+        def post(map_state: MapState, history: TrackingHistory,
+                 pose_history: PoseHistory, frame: TrackedFrame,
+                 found_delta, predicted_delta,
+                 frames_since_keyframe, frames_since_reloc):
+            map_state = map_state._replace(
+                mp_found=map_state.mp_found + found_delta,
+                mp_predicted=map_state.mp_predicted + predicted_delta,
+            )
+            history = history.advance(frame)
+
+            d2 = jnp.sum(
+                (map_state.keyframe_centers() - frame.pose.center()[None]) ** 2,
+                axis=-1,
+            )
+            kf_slot = jnp.argmin(jnp.where(map_state.kf_valid, d2, jnp.inf)).astype(jnp.int32)
+            pose_history = pose_history.add(
+                frame.frame_id, frame.pose,
+                Pose(map_state.kf_pose.R[kf_slot], map_state.kf_pose.t[kf_slot]),
+                kf_slot,
+            )
+
+            member = membership_matrix(map_state)
+            a_ok = (frame.assoc >= 0) & frame.kp_valid
+            P_cap = map_state.mp_valid.shape[0]
+            seen = jnp.zeros((P_cap,), bool).at[
+                jnp.where(a_ok, frame.assoc, 0)
+            ].max(a_ok)
+            shared = jnp.sum((member & seen[None, :]).astype(jnp.int32), axis=1)
+            sizes = jnp.sum(member.astype(jnp.int32), axis=1)
+            safe = jnp.where(a_ok, frame.assoc, 0)
+            depths = jnp.where(
+                a_ok, frame.pose.transform(map_state.mp_pos[safe])[:, 2], jnp.inf
+            )
+            min_depth = jnp.min(depths)
+            is_kf = is_new_keyframe(
+                frame,
+                KeyframeDecisionInput(
+                    frames_since_keyframe=frames_since_keyframe,
+                    frames_since_reloc=frames_since_reloc,
+                    mapping_idle=jnp.asarray(True),
+                    min_point_distance=jnp.where(jnp.isfinite(min_depth), min_depth, 0.0),
+                ),
+                map_state.keyframe_centers(), map_state.kf_valid, shared, sizes,
+                width, height,
+                min_frame_count=ks.KeyframeDecisionMinFrameCount,
+                min_frame_count_reloc=ks.KeyframeDecisionMinFrameCountReloc,
+                min_tracking_points=ks.KeyframeDecisionMinTrackingPointCount,
+                max_tracking_matches=int(ks.KeyframeDecisionMaxTrackingPointMatches),
+                max_overlap=ks.KeyframeDecisionMaxTrackingPointOverlap,
+                min_move_ratio=ks.MinFrameMoveToMinDepthRatio,
+            )
+            return map_state, history, pose_history, is_kf
+
+        return jax.jit(post)
+
+    def _track(self, feats, timestamp, frame_id) -> FrameResult:
+        frame = self._frame(feats, Pose.identity(), timestamp, frame_id)
+        res = self._track_core(self.map, self.history, frame)
+        if not bool(res.succeeded):
+            return self._tracking_failed(frame_id)
+
+        frame = res.frame
+        self.lost_count = 0
+        self.frames_since_keyframe += 1
+        self.frames_since_reloc += 1
+
+        self.map, self.history, self.pose_history, is_kf_dev = self._post_core(
+            self.map, self.history, self.pose_history, frame,
+            res.found_delta, res.predicted_delta,
+            jnp.int32(self.frames_since_keyframe),
+            jnp.int32(min(self.frames_since_reloc, 10_000)),
+        )
+        is_kf = bool(is_kf_dev)
+        if is_kf:
+            self._insert_keyframe_and_map(frame, frame_id)
+
+        return FrameResult(frame_id, TrackingState.TRACKING, frame.pose,
+                           int(res.tracked_count), is_kf)
+
+    def _tracking_failed(self, frame_id) -> FrameResult:
+        self.lost_count += 1
+        lost_limit = self.settings.TrackLocalMapSettings.TrackingLostCountUntilReloc
+        if self.lost_count >= lost_limit:
+            # TrackingLost: clear history; subsequent frames take the reloc
+            # path (Runtime.cpp:281-302). Relocalization (BoW) lands in a
+            # later milestone — until then we keep reporting RELOCALIZING.
+            self.history = self.history.clear()
+            return FrameResult(frame_id, TrackingState.RELOCALIZING, None, 0, False)
+        return FrameResult(frame_id, TrackingState.SKIPPED, None, 0, False)
+
+    def _build_mapping_core(self):
+        """One jitted function for the full mapping schedule of one keyframe
+        (MappingWorker::MappingTask, Tasks/MappingWorker.cpp:148-316):
+        insert -> cull recent points -> create new points -> local BA ->
+        cull keyframes -> pose-history rebase. A single dispatch per keyframe;
+        on a full keyframe bank the original state is returned unchanged."""
+        fes = self.fes
+        b = self.settings.Budgets
+        cs = self.settings.CovisibilitySettings
+        ms = self.settings.MappingSettings
+        ts = self.settings.TrackLocalMapSettings
+        bas = self.settings.BundleAdjustSettings
+        ks = self.settings.KeyframeSettings
+        width, height = self.width, self.height
+        cam = self.cam
+
+        def mapping(map_state: MapState, pose_history: PoseHistory,
+                    frame: TrackedFrame, map_scale):
+            state0, ph0 = map_state, pose_history
+            map_state, ki = insert_keyframe(
+                map_state, frame.pose, cam, frame.frame_id,
+                frame.kp_xy, frame.kp_octave, frame.desc, frame.kp_valid,
+                frame.assoc,
+            )
+            ok = ki >= 0
+            ki_s = jnp.where(ok, ki, 0)
+
+            # recent map point culling (found/predicted 25% rule)
+            fp_ratio = (map_state.mp_found.astype(jnp.float32) + 1.0) / (
+                map_state.mp_predicted.astype(jnp.float32) + 1.0
+            )
+            failed = map_state.mp_valid & (fp_ratio < ts.RecentMapPointPctSuccess)
+            map_state = cull_recent_map_points(
+                map_state, ki_s, failed,
+                min_keyframes_for_culling=ms.MinNumKeyframesForMapPointCulling,
+            )
+
+            covis = covisibility_matrix(map_state)
+            npr = create_new_map_points(
+                map_state, ki_s, covis, map_scale,
+                num_levels=fes.NumLevels, pyramid_scale=fes.ScaleFactor,
+                image_width=width, image_height=height,
+                image_border=fes.PatchSize / 2.0,
+                covis_theta=cs.CovisMinThreshold,
+            )
+            map_state = refresh_point_stats(
+                npr.state,
+                jnp.zeros_like(npr.state.mp_valid).at[
+                    jnp.where(npr.slots >= 0, npr.slots, 0)
+                ].max(npr.slots >= 0),
+                fes.NumLevels, fes.ScaleFactor,
+            )
+
+            # local BA
+            window = build_local_ba_window(
+                map_state, ki_s,
+                max_cams=b.MaxBaCameras, max_points=b.MaxBaPoints,
+                max_obs=b.MaxBaObservations,
+                theta0=cs.CovisMinThreshold,
+                upper_connections=cs.UpperConnectionsForBA,
+                lower_connections=cs.LowerConnectionsForBA,
+                theta_min=cs.CovisMinThreshold,
+                theta_step=cs.CovisBaStepThreshold,
+                theta_max_steps=cs.MaxSteps,
+            )
+            st = BAState.from_problem(window.problem)
+            widths = bas.HuberWidth * (
+                bas.HuberWidthScale ** jnp.arange(
+                    max(bas.NumSteps, 4), dtype=jnp.float32)
+            )
+            st, mse, outliers = step_bundle_adjust(
+                window.problem, st, widths, jnp.float32(bas.MaxOutlierError ** 2),
+            )
+            map_state = apply_ba_results(
+                map_state, window, st.poses, st.points, outliers,
+                fes.NumLevels, fes.ScaleFactor,
+            )
+
+            # keyframe culling + pose-history rebase (no-op when nothing culled)
+            covis2 = covisibility_matrix(map_state)
+            old_poses = map_state.kf_pose
+            map_state, culled = cull_local_keyframes(
+                map_state, ki_s, covis2, fes.NumLevels,
+                covis_theta=cs.CovisMinThreshold,
+                max_tracking_point_overlap=ks.MappingMaxTrackingPointOverlap,
+                min_keyframe_covis_count=ks.MinimumKeyframeCovisibilityCount,
+            )
+            pose_history = ph0.rebase(old_poses, culled, ki_s, map_state.kf_pose)
+
+            # keyframe bank full -> whole mapping step is a no-op
+            pick = lambda new, old: jax.tree.map(
+                lambda a, c: jnp.where(
+                    jnp.reshape(ok, (1,) * a.ndim), a, c), new, old)
+            return pick(map_state, state0), pick(pose_history, ph0), ki
+
+        return jax.jit(mapping)
+
+    def _insert_keyframe_and_map(self, frame: TrackedFrame, frame_id: int):
+        self.map, self.pose_history, ki = self._mapping_core(
+            self.map, self.pose_history, frame, jnp.float32(self.map_scale)
+        )
+        ki_i = int(ki)
+        if ki_i >= 0:
+            self.frames_since_keyframe = 0
+            self.last_kf_slot = ki_i
+
+    # ------------------------------------------------------------------ #
+    def fossilize(self, global_ba_steps: int | None = None):
+        """Final global BA + frozen trajectory (MAGESlam::Fossilize,
+        MageSlam.cpp:322-383). Returns (frame_ids, poses (M,4,4) world→camera)."""
+        b = self.settings.Budgets
+        steps = global_ba_steps if global_ba_steps is not None else \
+            self.settings.GraphOptimizationSettings.NumSteps
+        if self.initialized and steps > 0:
+            window = build_local_ba_window(
+                self.map, jnp.int32(self.last_kf_slot),
+                max_cams=b.MaxKeyframes, max_points=b.MaxMapPoints,
+                max_obs=b.MaxGlobalBaObservations,
+                global_window=True,
+            )
+            st = BAState.from_problem(window.problem)
+            widths = jnp.full((steps,), 0.9, jnp.float32)
+            st, mse, outliers = step_bundle_adjust(
+                window.problem, st, widths, jnp.float32(16.0)
+            )
+            self.map = apply_ba_results(
+                self.map, window, st.poses, st.points, outliers,
+                self.fes.NumLevels, self.fes.ScaleFactor,
+            )
+        poses, valid = self.pose_history.derive_poses(self.map.kf_pose)
+        ids = np.array(self.pose_history.frame_id)
+        ok = np.array(valid)
+        mats = np.array(poses.matrix())
+        order = np.argsort(ids[ok])
+        return ids[ok][order], mats[ok][order]

@@ -28,6 +28,7 @@ reference's sequential 90-iteration loop.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -113,6 +114,7 @@ def _symmetric_transfer_score(F, xy1, xy2, match_ok, thr):
     return score, jnp.sum(inlier.astype(jnp.int32), axis=1)
 
 
+@partial(jax.jit, static_argnames=("settings", "ransac_batch"))
 def try_initialize_pair(
     xy1: jax.Array, desc1: jax.Array, valid1: jax.Array,
     xy2: jax.Array, desc2: jax.Array, valid2: jax.Array,

@@ -1,0 +1,117 @@
+"""End-to-end pipeline test: a SlamSession over a synthetic feature stream.
+
+A virtual camera translates through a 3D point field; each frame's features
+are the projected points with fixed per-point descriptors (the frontend is
+oracle-tested separately in test_frontend.py). The session must initialize,
+track every frame, insert keyframes, grow the map, and produce a trajectory
+matching ground truth up to the monocular scale gauge."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mageslam_tpu.config import golden_path_settings
+from mageslam_tpu.geometry.se3 import Pose
+from mageslam_tpu.ops.frontend import FrameFeatures
+from mageslam_tpu.runtime import SlamSession, TrackingState
+
+W, H = 320.0, 180.0
+CAM = jnp.array([260.0, 260.0, 160.0, 90.0])
+
+
+def make_world(rng, n=400):
+    pts = np.stack([
+        rng.uniform(-4, 4, n), rng.uniform(-2.5, 2.5, n), rng.uniform(3, 10, n),
+    ], 1).astype(np.float32)
+    descs = rng.randint(0, 2**31, (n, 8)).astype(np.uint32)
+    return pts, descs
+
+
+def pose_at(t):
+    """Camera translating along +x with slight y wobble, looking at +z."""
+    c = np.array([0.9 * t, 0.06 * np.sin(2 * t), 0.0], np.float32)
+    return Pose(jnp.eye(3), jnp.array(-c))
+
+
+def frame_features(pts, descs, pose, n_slots, rng, noise=0.2):
+    Xc = np.array(pose.transform(jnp.array(pts)))
+    z = Xc[:, 2]
+    uv = np.stack([
+        float(CAM[0]) * Xc[:, 0] / z + float(CAM[2]),
+        float(CAM[1]) * Xc[:, 1] / z + float(CAM[3]),
+    ], 1).astype(np.float32)
+    vis = (z > 0.5) & (uv[:, 0] > 10) & (uv[:, 0] < W - 10) \
+        & (uv[:, 1] > 10) & (uv[:, 1] < H - 10)
+    idx = np.where(vis)[0][:n_slots]
+    n = len(idx)
+    xy = np.full((n_slots, 2), -1e6, np.float32)
+    xy[:n] = uv[idx] + rng.normal(0, noise, (n, 2)).astype(np.float32)
+    d = np.zeros((n_slots, 8), np.uint32)
+    d[:n] = descs[idx]
+    valid = np.arange(n_slots) < n
+    return FrameFeatures(
+        xy=jnp.asarray(xy), und_xy=jnp.asarray(xy),
+        response=jnp.where(jnp.asarray(valid), 10.0, 0.0),
+        octave=jnp.zeros((n_slots,), jnp.int32),
+        angle=jnp.zeros((n_slots,), jnp.float32),
+        desc=jnp.asarray(d), valid=jnp.asarray(valid),
+    )
+
+
+@pytest.fixture(scope="module")
+def session_run():
+    rng = np.random.RandomState(42)
+    pts, descs = make_world(rng)
+    settings = golden_path_settings()
+    sess = SlamSession(settings, cam=CAM, image_width=int(W), image_height=int(H))
+    true_centers = []
+    n_frames = 40
+    for i in range(n_frames):
+        t = i * 0.033
+        pose = pose_at(t * 1.0)
+        feats = frame_features(pts, descs, pose, sess.N, rng)
+        sess.process_features(feats, t, i)
+        true_centers.append(np.array(pose.center()))
+    return sess, np.array(true_centers)
+
+
+class TestPipeline:
+    def test_initializes_and_tracks(self, session_run):
+        sess, _ = session_run
+        states = [r.state for r in sess.results]
+        assert sess.initialized
+        # the median-depth parallax gate (MaxParallax3dMedianDistance=20) needs
+        # baseline ≥ ~5% of median depth → ~0.45 units of travel ≈ frame 14 here
+        first_track = next(i for i, s in enumerate(states) if s == TrackingState.TRACKING)
+        assert first_track < 18, f"slow init: {states[:18]}"
+        tracked = sum(s == TrackingState.TRACKING for s in states)
+        assert tracked >= len(states) - first_track - 2, states
+
+    def test_keyframes_and_map_grow(self, session_run):
+        sess, _ = session_run
+        n_kf = int(jnp.sum(sess.map.kf_valid))
+        n_mp = int(jnp.sum(sess.map.mp_valid))
+        assert n_kf >= 2
+        assert n_mp >= 60
+        kfs = [r for r in sess.results if r.is_keyframe]
+        assert len(kfs) >= 1
+
+    def test_trajectory_matches_ground_truth(self, session_run):
+        sess, true_centers = session_run
+        ids, mats = sess.fossilize(global_ba_steps=0)
+        assert len(ids) >= 25
+        est_centers = np.array([-m[:3, :3].T @ m[:3, 3] for m in mats])
+        gt = true_centers[ids]
+        # align scale (monocular gauge): least-squares scale on centered tracks
+        est_c = est_centers - est_centers[0]
+        gt_c = gt - gt[0]
+        scale = np.sum(est_c * gt_c) / max(np.sum(est_c * est_c), 1e-12)
+        err = np.linalg.norm(est_c * scale - gt_c, axis=1)
+        rmse = np.sqrt((err ** 2).mean())
+        # ~2.4 units of total travel; ATE under 5%
+        assert rmse < 0.12, f"ATE RMSE {rmse}"
+
+    def test_fossilize_with_global_ba(self, session_run):
+        sess, true_centers = session_run
+        ids, mats = sess.fossilize(global_ba_steps=3)
+        assert np.isfinite(mats).all()

@@ -26,6 +26,11 @@ import numpy as np
 
 from ..ba import BAState
 from ..ba.step import step_bundle_adjust
+from ..bow import add_keyframe as bow_add_keyframe
+from ..bow import empty_index, query_keyframes, train_vocabulary
+from ..bow.index import compute_idf
+from ..tracking.relocalization import relocalize
+from ..tracking.track_local_map import track_local_map as _tlm
 from ..config import MageSlamSettings, golden_path_settings
 from ..geometry.se3 import Pose
 from ..ops.frontend import FrameFeatures, detect_and_compute
@@ -96,9 +101,17 @@ class SlamSession:
         self.pose_history = PoseHistory.empty(4096)
         self.key = jax.random.PRNGKey(seed)
 
+        self.bow = empty_index(b.MaxKeyframes,
+                               num_words=64)
         self._track_core = self._build_track_core()
         self._post_core = self._build_post_core()
         self._mapping_core = self._build_mapping_core()
+        self._reloc_core = self._build_reloc_core()
+        self._step_core = self._build_step_core()
+        # pipelined-loop pending queue, depth = the reference's keyframe
+        # backlog cap (MaxPendingKeyframes, MageSettings.h:255)
+        self._pending: list = []
+        self._pipeline_depth = self.settings.MappingSettings.MaxPendingKeyframes
 
         self.initialized = False
         self.lost_count = 0
@@ -119,10 +132,69 @@ class SlamSession:
         )
         return self.process_features(feats, timestamp, frame_id)
 
+    def process_features_pipelined(self, feats: FrameFeatures, timestamp: float,
+                                   frame_id: int) -> FrameResult | None:
+        """Throughput-mode frame loop: dispatch frame i+1 before reading
+        frame i's outcome, hiding host↔device latency — the TPU analogue of
+        the reference's frame pipeline across dispatcher threads
+        (SURVEY §2.4: tracking runs ahead, keyframes queue behind,
+        MaxPendingKeyframes=4). Returns the PREVIOUS frame's result (None for
+        the first call after init). Call `flush()` at end of stream."""
+        if not self.initialized or self.lost_count >= \
+                self.settings.TrackLocalMapSettings.TrackingLostCountUntilReloc:
+            prev = self.flush()
+            res = self.process_features(feats, timestamp, frame_id)
+            return prev or res
+
+        frame = self._frame(feats, Pose.identity(), timestamp, frame_id)
+        self.map, self.history, self.pose_history, frame_out, flags = \
+            self._step_core(
+                self.map, self.history, self.pose_history, frame,
+                np.int32(self.frames_since_keyframe + 1),
+                np.int32(min(self.frames_since_reloc + 1, 10_000)),
+            )
+        try:
+            flags.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._pending.append((frame_out, flags, frame_id))
+        if len(self._pending) > self._pipeline_depth:
+            return self._resolve_pending()
+        return None
+
+    def _resolve_pending(self) -> FrameResult | None:
+        if not self._pending:
+            return None
+        frame_out, flags, frame_id = self._pending.pop(0)
+        ok, tracked, is_kf = (int(x) for x in np.asarray(flags))
+        if not ok:
+            result = self._tracking_failed(frame_id)
+        else:
+            self.lost_count = 0
+            self.frames_since_keyframe += 1
+            self.frames_since_reloc += 1
+            pose = Pose(frame_out.pose.R, frame_out.pose.t)
+            if is_kf:
+                self._insert_keyframe_and_map(frame_out, frame_id)
+            result = FrameResult(frame_id, TrackingState.TRACKING, pose,
+                                 tracked, bool(is_kf))
+        self.results.append(result)
+        return result
+
+    def flush(self) -> FrameResult | None:
+        """Resolve all in-flight pipelined frames; returns the last result."""
+        last = None
+        while self._pending:
+            last = self._resolve_pending()
+        return last
+
     def process_features(self, feats: FrameFeatures, timestamp: float,
                          frame_id: int) -> FrameResult:
         if not self.initialized:
             result = self._try_initialize(feats, timestamp, frame_id)
+        elif self.lost_count >= \
+                self.settings.TrackLocalMapSettings.TrackingLostCountUntilReloc:
+            result = self._relocalize(feats, timestamp, frame_id)
         else:
             result = self._track(feats, timestamp, frame_id)
         self.results.append(result)
@@ -137,7 +209,9 @@ class SlamSession:
             kp_valid=feats.valid,
             assoc=assoc if assoc is not None
             else jnp.full((self.N,), -1, jnp.int32),
-            timestamp=jnp.float32(timestamp), frame_id=jnp.int32(frame_id),
+            # np scalars: device conversion happens inside the jitted call —
+            # jnp.float32(...) here would be one eager device op per frame
+            timestamp=np.float32(timestamp), frame_id=np.int32(frame_id),
         )
 
     def _try_initialize(self, feats, timestamp, frame_id) -> FrameResult:
@@ -236,6 +310,20 @@ class SlamSession:
         self.pose_history = self.pose_history.add(
             frame_id, res.pose2,
             Pose(self.map.kf_pose.R[1], self.map.kf_pose.t[1]), 1)
+        # train the place-recognition vocabulary from the init frames'
+        # descriptors (OnlineBow trains from the first frames and gates
+        # tracking on completion, ImageAnalyzer.cpp:249-252 — here training is
+        # one batched k-medoid at init time)
+        self.key, sub = jax.random.split(self.key)
+        pool_desc = jnp.concatenate([prev.desc, feats.desc])
+        pool_valid = jnp.concatenate([prev.valid, feats.valid])
+        anchors = train_vocabulary(pool_desc, pool_valid, sub,
+                                   num_words=self.bow.num_words)
+        self.bow = self.bow._replace(anchors=anchors, trained=jnp.asarray(True))
+        self.bow = compute_idf(self.bow, pool_desc, pool_valid)
+        self.bow = bow_add_keyframe(self.bow, jnp.int32(0), prev.desc, prev.valid)
+        self.bow = bow_add_keyframe(self.bow, jnp.int32(1), feats.desc, feats.valid)
+
         self.initialized = True
         self.lost_count = 0
         self.frames_since_keyframe = 0
@@ -286,6 +374,7 @@ class SlamSession:
             success = gm.succeeded & res.succeeded
             return res._replace(succeeded=success)
 
+        self._track_fn = core
         return jax.jit(core)
 
     def _build_post_core(self):
@@ -348,7 +437,43 @@ class SlamSession:
             )
             return map_state, history, pose_history, is_kf
 
+        self._post_fn = post
         return jax.jit(post)
+
+    def _build_step_core(self):
+        """Fused per-frame step: tracking fast path + bookkeeping in ONE
+        compiled dispatch, with all state updates gated on tracking success.
+        This enables the pipelined frame loop (process_features_pipelined):
+        the host reads each frame's flags one frame late, so the device is
+        always working on frame i+1 while frame i's outcome is read back —
+        the TPU-native form of the reference's tracking/mapping thread
+        pipeline (SURVEY §2.4)."""
+        track_fn = self._track_fn
+        post_fn = self._post_fn
+
+        def step(map_state, history, pose_history, frame,
+                 frames_since_keyframe, frames_since_reloc):
+            res = track_fn(map_state, history, frame)
+            m2, h2, ph2, is_kf = post_fn(
+                map_state, history, pose_history, res.frame,
+                res.found_delta, res.predicted_delta,
+                frames_since_keyframe, frames_since_reloc,
+            )
+            gate = res.succeeded
+            pick = lambda new, old: jax.tree.map(
+                lambda a, c: jnp.where(jnp.reshape(gate, (1,) * a.ndim), a, c),
+                new, old)
+            return (
+                pick(m2, map_state), pick(h2, history), pick(ph2, pose_history),
+                res.frame,
+                jnp.stack([
+                    gate.astype(jnp.int32),
+                    res.tracked_count,
+                    (is_kf & gate).astype(jnp.int32),
+                ]),
+            )
+
+        return jax.jit(step)
 
     def _track(self, feats, timestamp, frame_id) -> FrameResult:
         frame = self._frame(feats, Pose.identity(), timestamp, frame_id)
@@ -378,12 +503,82 @@ class SlamSession:
         self.lost_count += 1
         lost_limit = self.settings.TrackLocalMapSettings.TrackingLostCountUntilReloc
         if self.lost_count >= lost_limit:
-            # TrackingLost: clear history; subsequent frames take the reloc
-            # path (Runtime.cpp:281-302). Relocalization (BoW) lands in a
-            # later milestone — until then we keep reporting RELOCALIZING.
+            # TrackingLost: clear history; subsequent frames take the
+            # BoW-relocalization path (Runtime.cpp:171-176, 281-302)
             self.history = self.history.clear()
             return FrameResult(frame_id, TrackingState.RELOCALIZING, None, 0, False)
         return FrameResult(frame_id, TrackingState.SKIPPED, None, 0, False)
+
+    def _build_reloc_core(self):
+        """Jitted lost-tracking recovery: BoW query → top-C candidates →
+        parallel {match → PnP-RANSAC → pose BA → guided rematch} → best →
+        track-local-map refinement (PoseEstimationWorker reloc path +
+        TrackLocalMap, Tasks/PoseEstimationWorker.cpp:39-99)."""
+        rs = self.settings.RelocalizationSettings
+        ts = self.settings.TrackLocalMapSettings
+        ms = self.settings.MappingSettings
+        fes = self.fes
+        C = ms.MaxRelocQueryResults
+        width, height = self.width, self.height
+
+        def reloc(map_state: MapState, bow, frame: TrackedFrame, key):
+            scores, qualified = query_keyframes(
+                bow, frame.desc, frame.kp_valid,
+                qualifying_score=self.settings.BagOfWordsSettings.QualifyingCandidateScore,
+            )
+            ranked = jnp.argsort(-jnp.where(qualified, scores, -1.0))
+            cand = ranked[:C].astype(jnp.int32)
+            cand_ok = qualified[cand] & map_state.kf_valid[cand]
+
+            r = relocalize(
+                frame, map_state, cand, cand_ok, key,
+                min_brute_force=rs.MinBruteForceCorrespondences,
+                min_radius_matches=rs.MinRadiusMatchCorrespondences,
+                ransac_inlier_pct=rs.RansacInliersPctRequired,
+                ba_inlier_pct=rs.BundleAdjustInliersPctRequired,
+                max_pnp_error=rs.MaxBundlePnPReprojectionError,
+                max_ba_error=rs.MaxBundleAdjustReprojectionError,
+                ba_iterations=rs.BundleAdjustIterations,
+                search_radius=rs.SearchRadius,
+                max_hamming=rs.OrbMatcherSettings.MaxHammingDistance,
+                min_hamming_diff=rs.OrbMatcherSettings.MinHammingDifference,
+            )
+            frame = frame._replace(pose=r.pose, assoc=r.assoc)
+            res = _tlm(
+                frame, map_state, map_state.mp_valid,
+                num_levels=fes.NumLevels, pyramid_scale=fes.ScaleFactor,
+                image_width=width, image_height=height,
+                image_border=fes.PatchSize / 2.0,
+                min_degrees_view_angle=ts.MinDegreesBetweenCurrentViewAndMapPointView,
+                match_search_radius=ts.MatchSearchRadius,
+                max_hamming=ts.OrbMatcherSettings.MaxHammingDistance,
+                min_hamming_diff=ts.OrbMatcherSettings.MinHammingDifference,
+                max_outlier_error=ts.MaxOutlierError,
+                max_outlier_error_pose_estimation=ts.MaxOutlierErrorPoseEstimation,
+                min_tracked_features=ts.MinTrackedFeatureCount,
+            )
+            return res._replace(succeeded=r.succeeded & res.succeeded)
+
+        return jax.jit(reloc)
+
+    def _relocalize(self, feats, timestamp, frame_id) -> FrameResult:
+        self.key, sub = jax.random.split(self.key)
+        frame = self._frame(feats, Pose.identity(), timestamp, frame_id)
+        res = self._reloc_core(self.map, self.bow, frame, sub)
+        if not bool(res.succeeded):
+            return FrameResult(frame_id, TrackingState.RELOCALIZING, None, 0, False)
+
+        frame = res.frame
+        self.lost_count = 0
+        self.frames_since_reloc = 0
+        self.frames_since_keyframe += 1
+        self.map, self.history, self.pose_history, _ = self._post_core(
+            self.map, self.history, self.pose_history, frame,
+            res.found_delta, res.predicted_delta,
+            jnp.int32(self.frames_since_keyframe), jnp.int32(0),
+        )
+        return FrameResult(frame_id, TrackingState.TRACKING, frame.pose,
+                           int(res.tracked_count), False)
 
     def _build_mapping_core(self):
         """One jitted function for the full mapping schedule of one keyframe
@@ -490,6 +685,12 @@ class SlamSession:
         if ki_i >= 0:
             self.frames_since_keyframe = 0
             self.last_kf_slot = ki_i
+            # BoW.AddImage for the new keyframe (MappingWorker.cpp:187-192);
+            # culled keyframes drop out of the index with kf_valid
+            self.bow = bow_add_keyframe(
+                self.bow, jnp.int32(ki_i), frame.desc, frame.kp_valid)
+            self.bow = self.bow._replace(
+                kf_has=self.bow.kf_has & self.map.kf_valid)
 
     # ------------------------------------------------------------------ #
     def fossilize(self, global_ba_steps: int | None = None):

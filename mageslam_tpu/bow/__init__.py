@@ -20,5 +20,11 @@ TPU-first redesign:
     (SURVEY §7.1 step 8), so IndexedMatch == masked dense match.
 """
 
-from .index import BowIndex, empty_index, add_keyframe, query_keyframes  # noqa: F401
+from .index import (  # noqa: F401
+    BowIndex,
+    add_keyframe,
+    compute_idf,
+    empty_index,
+    query_keyframes,
+)
 from .vocab import train_vocabulary  # noqa: F401

@@ -691,30 +691,77 @@ class SlamSession:
                 self.bow, jnp.int32(ki_i), frame.desc, frame.kp_valid)
             self.bow = self.bow._replace(
                 kf_has=self.bow.kf_has & self.map.kf_valid)
+            self._maybe_close_loop(frame, ki_i)
 
     # ------------------------------------------------------------------ #
+    def _global_ba(self, steps: int, huber: float = 0.9,
+                   max_outlier_error: float = 4.0):
+        """Whole-map BA (loop-closure close + Fossilize both use this —
+        the reference uses full global BA instead of a Sim3 pose graph)."""
+        b = self.settings.Budgets
+        window = build_local_ba_window(
+            self.map, jnp.int32(self.last_kf_slot),
+            max_cams=b.MaxKeyframes, max_points=b.MaxMapPoints,
+            max_obs=b.MaxGlobalBaObservations,
+            global_window=True,
+        )
+        st = BAState.from_problem(window.problem)
+        widths = jnp.full((steps,), huber, jnp.float32)
+        st, mse, outliers = step_bundle_adjust(
+            window.problem, st, widths, jnp.float32(max_outlier_error ** 2)
+        )
+        self.map = apply_ba_results(
+            self.map, window, st.poses, st.points, outliers,
+            self.fes.NumLevels, self.fes.ScaleFactor,
+        )
+        return float(mse)
+
+    def _maybe_close_loop(self, frame: TrackedFrame, ki_i: int):
+        """Loop detection + closing for the new keyframe (LoopClosureWorker::
+        AttemptLoopClosure via the LoopDetection schedule, Runtime.cpp:552-573).
+        Host-gated: rare path, separately jitted."""
+        lc = self.settings.LoopClosureSettings
+        if not lc.EnableLoopClosure:
+            return False
+        if int(jnp.sum(self.map.kf_valid)) < lc.MinKeyframe:
+            return False
+        from .loop_closure import close_loop, detect_loop
+
+        rs = self.settings.RelocalizationSettings
+        self.key, sub = jax.random.split(self.key)
+        det = detect_loop(
+            self.map, self.bow, frame, jnp.int32(ki_i), sub,
+            covis_loop_threshold=self.settings.CovisibilitySettings.CovisLoopThreshold,
+            covis_cluster_threshold=self.settings.CovisibilitySettings.CovisMinThreshold,
+            min_cluster_size=lc.MinClusterSize,
+            min_keyframes=lc.MinKeyframe,
+            max_candidates=self.settings.MappingSettings.MaxRelocQueryResults,
+            reloc_kwargs=dict(
+                min_brute_force=rs.MinBruteForceCorrespondences,
+                min_radius_matches=rs.MinRadiusMatchCorrespondences,
+                search_radius=lc.MatchSearchRadius,
+            ),
+        )
+        if not bool(det.detected):
+            return False
+        self.map = close_loop(
+            self.map, det, frame, jnp.int32(ki_i),
+            covis_theta=self.settings.CovisibilitySettings.CovisMinThreshold,
+        )
+        self._global_ba(
+            steps=max(lc.BundleAdjustSettings.NumSteps, 5),
+            huber=lc.BundleAdjustSettings.HuberWidth,
+            max_outlier_error=lc.BundleAdjustSettings.MaxOutlierError,
+        )
+        return True
+
     def fossilize(self, global_ba_steps: int | None = None):
         """Final global BA + frozen trajectory (MAGESlam::Fossilize,
         MageSlam.cpp:322-383). Returns (frame_ids, poses (M,4,4) world→camera)."""
-        b = self.settings.Budgets
         steps = global_ba_steps if global_ba_steps is not None else \
             self.settings.GraphOptimizationSettings.NumSteps
         if self.initialized and steps > 0:
-            window = build_local_ba_window(
-                self.map, jnp.int32(self.last_kf_slot),
-                max_cams=b.MaxKeyframes, max_points=b.MaxMapPoints,
-                max_obs=b.MaxGlobalBaObservations,
-                global_window=True,
-            )
-            st = BAState.from_problem(window.problem)
-            widths = jnp.full((steps,), 0.9, jnp.float32)
-            st, mse, outliers = step_bundle_adjust(
-                window.problem, st, widths, jnp.float32(16.0)
-            )
-            self.map = apply_ba_results(
-                self.map, window, st.poses, st.points, outliers,
-                self.fes.NumLevels, self.fes.ScaleFactor,
-            )
+            self._global_ba(steps)
         poses, valid = self.pose_history.derive_poses(self.map.kf_pose)
         ids = np.array(self.pose_history.frame_id)
         ok = np.array(valid)

@@ -1,0 +1,150 @@
+"""Loop closure tests: connected-component clustering, detection on a
+synthetically drifted map (two copies of the same place with offset poses and
+duplicate points), and closing (pose correction + point merge)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mageslam_tpu.bow import add_keyframe, compute_idf, empty_index, train_vocabulary
+from mageslam_tpu.geometry.se3 import Pose
+from mageslam_tpu.runtime.loop_closure import (
+    _connected_components,
+    close_loop,
+    detect_loop,
+)
+from mageslam_tpu.tracking.frame_state import TrackedFrame
+from mageslam_tpu.worldmap import empty_map
+from mageslam_tpu.worldmap.operations import insert_keyframe
+
+K_CAP, P_CAP, N_CAP = 16, 256, 64
+CAM = jnp.array([300.0, 300.0, 160.0, 90.0])
+
+
+class TestComponents:
+    def test_connected_components(self):
+        K = 8
+        adj = jnp.zeros((K, K), bool)
+        # component {1,2,3} and {5,6}; 0 isolated active; 4 inactive
+        for a, b in [(1, 2), (2, 3), (5, 6)]:
+            adj = adj.at[a, b].set(True).at[b, a].set(True)
+        active = jnp.array([True, True, True, True, False, True, True, False])
+        labels = np.array(_connected_components(adj, active))
+        assert labels[1] == labels[2] == labels[3] == 1
+        assert labels[5] == labels[6] == 5
+        assert labels[0] == 0
+        assert labels[4] == K  # inactive
+
+
+def build_drifted_map(rng, drift=np.array([0.4, 0.1, 0.0], np.float32)):
+    n_pts = 40
+    pts = np.stack([rng.uniform(-1.5, 1.5, n_pts), rng.uniform(-1, 1, n_pts),
+                    rng.uniform(4, 7, n_pts)], 1).astype(np.float32)
+    descs = rng.randint(0, 2**31, (n_pts, 8)).astype(np.uint32)
+
+    m = empty_map(K_CAP, P_CAP, N_CAP)
+    # region A: points 0..n at true positions; region B: duplicates at +drift
+    P2 = 2 * n_pts
+    m = m._replace(
+        mp_valid=m.mp_valid.at[:P2].set(True),
+        mp_pos=m.mp_pos.at[:n_pts].set(jnp.asarray(pts))
+                       .at[n_pts:P2].set(jnp.asarray(pts + drift)),
+        mp_desc=m.mp_desc.at[:n_pts].set(jnp.asarray(descs))
+                         .at[n_pts:P2].set(jnp.asarray(descs)),
+        mp_dmin=m.mp_dmin.at[:P2].set(0.5),
+        mp_dmax=m.mp_dmax.at[:P2].set(50.0),
+        mp_mean_dir=m.mp_mean_dir.at[:P2, 2].set(1.0),
+    )
+
+    def features(pose, offset):
+        Xc = np.array(pose.transform(jnp.asarray(pts + offset)))
+        uv = np.stack([300 * Xc[:, 0] / Xc[:, 2] + 160,
+                       300 * Xc[:, 1] / Xc[:, 2] + 90], 1).astype(np.float32)
+        xy = np.full((N_CAP, 2), -1e6, np.float32)
+        xy[:n_pts] = uv
+        d = np.zeros((N_CAP, 8), np.uint32)
+        d[:n_pts] = descs
+        return jnp.asarray(xy), jnp.asarray(d), jnp.arange(N_CAP) < n_pts
+
+    poses_a = [Pose(jnp.eye(3), jnp.array([-0.08 * i, 0.0, 0.0])) for i in range(3)]
+    # region B keyframes: same viewpoints but DRIFTED (poses shifted with the map)
+    poses_b = [Pose(jnp.eye(3), jnp.array([-0.08 * i, 0.0, 0.0])
+                    - jnp.asarray(drift) * -1.0) for i in range(3)]
+    # note: world→camera t shifts by -R·drift for a camera moved by +drift
+    poses_b = [Pose(jnp.eye(3), p.t - jnp.asarray(drift)) for p in poses_a]
+
+    frames = []
+    for i, p in enumerate(poses_a):
+        xy, d, valid = features(p, np.zeros(3, np.float32))
+        assoc = jnp.where(jnp.arange(N_CAP) < n_pts,
+                          jnp.arange(N_CAP, dtype=jnp.int32), -1)
+        m, _ = insert_keyframe(m, p, CAM, jnp.int32(i), xy,
+                               jnp.zeros((N_CAP,), jnp.int32), d, valid, assoc)
+        frames.append((xy, d, valid, assoc, p))
+    for i, p in enumerate(poses_b):
+        xy, d, valid = features(p, np.asarray(drift))
+        assoc = jnp.where(jnp.arange(N_CAP) < n_pts,
+                          jnp.arange(N_CAP, dtype=jnp.int32) + n_pts, -1)
+        m, _ = insert_keyframe(m, p, CAM, jnp.int32(10 + i), xy,
+                               jnp.zeros((N_CAP,), jnp.int32), d, valid, assoc)
+        frames.append((xy, d, valid, assoc, p))
+
+    # BoW over everything
+    bow = empty_index(K_CAP, num_words=32)
+    pool = m.kf_desc[0].reshape(-1, 8)
+    pool_valid = m.kf_kp_valid[0]
+    anchors = train_vocabulary(pool, pool_valid, jax.random.PRNGKey(0), num_words=32)
+    bow = bow._replace(anchors=anchors, trained=jnp.asarray(True))
+    bow = compute_idf(bow, pool, pool_valid)
+    for k in range(6):
+        bow = add_keyframe(bow, jnp.int32(k), m.kf_desc[k], m.kf_kp_valid[k])
+    return m, bow, frames, pts, descs, n_pts
+
+
+class TestLoopClosure:
+    def test_detect_and_close(self, rng):
+        drift = np.array([0.4, 0.1, 0.0], np.float32)
+        m, bow, frames, pts, descs, n_pts = build_drifted_map(rng, drift)
+        # Ki = slot 5 (last drifted keyframe)
+        xy, d, valid, assoc, pose = frames[5]
+        frame = TrackedFrame(
+            pose=pose, cam=CAM, kp_xy=xy,
+            kp_octave=jnp.zeros((N_CAP,), jnp.int32), desc=d, kp_valid=valid,
+            assoc=assoc, timestamp=np.float32(0.5), frame_id=np.int32(12),
+        )
+        det = detect_loop(
+            m, bow, frame, jnp.int32(5), jax.random.PRNGKey(3),
+            min_keyframes=5, min_cluster_size=2,
+        )
+        assert bool(det.detected), "loop not detected"
+        # cluster = region A keyframes
+        cm = np.array(det.cluster_mask)
+        assert cm[:3].sum() >= 2 and not cm[3:6].any()
+        # reloc pose ≈ the undrifted pose of Ki's viewpoint
+        true_pose = frames[2][4]  # pose_a[2] — same viewpoint, undrifted map
+        np.testing.assert_allclose(np.array(det.reloc_pose.t),
+                                   np.array(true_pose.t), atol=2e-2)
+        assert abs(float(det.scale) - 1.0) < 0.1
+
+        m2 = close_loop(m, det, frame, jnp.int32(5))
+        # Ki's pose corrected to the undrifted location
+        np.testing.assert_allclose(np.array(m2.kf_pose.t[5]),
+                                   np.array(true_pose.t), atol=3e-2)
+        # duplicate points merged: Ki's duplicates (slots n..2n seen by Ki)
+        # retargeted into region A's points
+        assoc5 = np.array(m2.kf_assoc[5])
+        merged = (assoc5 >= 0) & (assoc5 < n_pts)
+        assert merged.sum() > n_pts * 0.8, merged.sum()
+
+    def test_no_loop_without_candidates(self, rng):
+        m, bow, frames, pts, descs, n_pts = build_drifted_map(rng)
+        # Ki covisible with everything similar → query for region-A keyframe 0
+        xy, d, valid, assoc, pose = frames[0]
+        frame = TrackedFrame(
+            pose=pose, cam=CAM, kp_xy=xy,
+            kp_octave=jnp.zeros((N_CAP,), jnp.int32), desc=d, kp_valid=valid,
+            assoc=assoc, timestamp=np.float32(0.0), frame_id=np.int32(0),
+        )
+        det = detect_loop(m, bow, frame, jnp.int32(0), jax.random.PRNGKey(1),
+                          min_keyframes=20)   # min-keyframe gate fails
+        assert not bool(det.detected)

@@ -188,6 +188,50 @@ class SlamSession:
             last = self._resolve_pending()
         return last
 
+    def process_stereo_features(self, feats0: FrameFeatures, feats1: FrameFeatures,
+                                frame0_to_frame1: Pose, timestamp: float,
+                                frame_id: int) -> FrameResult:
+        """ProcessStereoFrames analogue (MageSlam.cpp:192): before
+        initialization, attempt the known-extrinsics stereo bootstrap
+        (Stereo/StereoMapInit → StereoInitializationWorker.cpp:52); once
+        initialized, track monocular on camera 0 (the reference rescales the
+        secondary frame to the primary calibration and tracks one camera,
+        ImageAnalyzer.cpp:131-240)."""
+        if not self.initialized:
+            from ..tracking.stereo_init import StereoInitSettings, stereo_initialize
+
+            ss = self.settings.StereoSettings.StereoMapInitializationSettings
+            res = stereo_initialize(
+                feats0.und_xy, feats0.desc, feats0.valid,
+                feats1.und_xy, feats1.desc, feats1.valid,
+                self.cam, frame0_to_frame1,
+                StereoInitSettings(
+                    min_init_map_points=ss.MinInitMapPoints,
+                    min_feature_matches=ss.MinFeatureMatches,
+                    max_outlier_error=ss.MaxOutlierError,
+                    max_epipolar_error=ss.MaxEpipolarError,
+                    min_accepted_distance_ratio=ss.MinAcceptedDistanceRatio,
+                    initialization_tether_strength=ss.InitializationTetherStrength,
+                    max_depth_meters=ss.MaxDepthMeters,
+                ),
+            )
+            if bool(res.succeeded):
+                # adopt: reuse the mono adoption path with the stereo pair —
+                # frame 0 plays the anchor role
+                self.prev_features = feats0
+                self.prev_meta = (frame_id, timestamp)
+                self._adopt_initialization(res, feats1, timestamp, frame_id)
+                result = FrameResult(
+                    frame_id, TrackingState.TRACKING,
+                    Pose(self.map.kf_pose.R[1], self.map.kf_pose.t[1]),
+                    int(jnp.sum(self.map.kf_assoc[1] >= 0)), True)
+            else:
+                result = FrameResult(frame_id, TrackingState.INITIALIZING,
+                                     None, 0, False)
+            self.results.append(result)
+            return result
+        return self.process_features(feats0, timestamp, frame_id)
+
     def process_features(self, feats: FrameFeatures, timestamp: float,
                          frame_id: int) -> FrameResult:
         if not self.initialized:

@@ -1,0 +1,129 @@
+"""The Fuser: VI mode state machine, gravity convergence, metric scale.
+
+Replaces Fuser/Fuser.{h,cpp} (870 LoC, excluded from the reference build —
+FuserStubs.cpp throws on every call) and Tasks/FuserWorker.cpp:37-80's mode
+machine:
+
+  WAIT_FOR_MAGE_INIT      — visual map not yet initialized
+  WAIT_FOR_GRAVITY        — run 3DoF gravity updates until attitude converges
+  SCALE_INIT              — accumulate (visual Δp, inertially-integrated Δp)
+                            pairs; metric scale = ratio of path lengths
+  TRACKING                — full 6DoF EKF: IMU propagation between frames,
+                            visual pose updates at frames; provides pose
+                            priors (IMUPosePriorProvider equivalent)
+
+The golden path runs UseFuser=false with the constant-velocity motion model
+(MotionModelPriorProvider); this Fuser is the UseFuser=true path.
+"""
+
+from __future__ import annotations
+
+import enum
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..geometry.se3 import Pose
+from .filters import (
+    EkfState,
+    ekf_init,
+    ekf_predict,
+    ekf_update_gravity,
+    ekf_update_pose,
+    pose_from_state,
+)
+from .sample_queue import SampleQueue, SampleType, SensorSample
+
+
+class FuserMode(enum.Enum):
+    WAIT_FOR_MAGE_INIT = 0
+    WAIT_FOR_GRAVITY = 1
+    SCALE_INIT = 2
+    TRACKING = 3
+
+
+class Fuser:
+    def __init__(self, gravity_converge_var: float = 1e-3,
+                 scale_window: int = 10):
+        self.queue = SampleQueue()
+        self.state = ekf_init()
+        self.mode = FuserMode.WAIT_FOR_MAGE_INIT
+        self.gravity_converge_var = gravity_converge_var
+        self.scale_window = scale_window
+        self._scale_pairs: list[tuple[float, float]] = []
+        self.metric_scale: float | None = None
+        self._last_time: float | None = None
+        self._last_visual_center: np.ndarray | None = None
+        self._imu_delta = np.zeros(3)
+
+    # -- events (the mediator messages of FuserWorker) -------------------- #
+    def on_mage_initialized(self) -> None:
+        if self.mode == FuserMode.WAIT_FOR_MAGE_INIT:
+            self.mode = FuserMode.WAIT_FOR_GRAVITY
+
+    def add_sample(self, sample: SensorSample) -> None:
+        self.queue.add(sample)
+
+    # -- per-frame processing -------------------------------------------- #
+    def process_frame(self, visual_pose: Pose | None, timestamp: float) -> None:
+        """Consume inertial samples up to this frame's fence, then apply the
+        visual update according to the current mode."""
+        self.queue.add_image_fence(timestamp)
+        samples, fence = self.queue.drain_until_fence()
+
+        gyro = np.zeros(3, np.float32)
+        for s in samples:
+            dt = 0.0 if self._last_time is None else max(s.timestamp - self._last_time, 0.0)
+            self._last_time = s.timestamp
+            if s.type == SampleType.GYROMETER:
+                gyro = np.asarray(s.data, np.float32)
+            elif s.type == SampleType.ACCELEROMETER:
+                accel = np.asarray(s.data, np.float32)
+                if dt > 0 and self.mode in (FuserMode.SCALE_INIT, FuserMode.TRACKING):
+                    self.state = ekf_predict(
+                        self.state, jnp.asarray(gyro), jnp.asarray(accel),
+                        jnp.float32(dt))
+                if self.mode == FuserMode.WAIT_FOR_GRAVITY:
+                    self.state = ekf_update_gravity(self.state, jnp.asarray(accel))
+
+        if self.mode == FuserMode.WAIT_FOR_GRAVITY:
+            # yaw is unobservable from gravity — converge on the two
+            # observable attitude axes (smallest covariance eigenvalues)
+            eig = np.sort(np.linalg.eigvalsh(np.asarray(self.state.P[0:3, 0:3])))
+            if float(eig[0] + eig[1]) < self.gravity_converge_var:
+                self.mode = FuserMode.SCALE_INIT
+            return
+
+        if visual_pose is None:
+            return
+
+        center = np.asarray(visual_pose.center())
+        if self.mode == FuserMode.SCALE_INIT:
+            if self._last_visual_center is not None:
+                visual_step = float(np.linalg.norm(center - self._last_visual_center))
+                imu_step = float(np.linalg.norm(np.asarray(self.state.p)) + 1e-12)
+                if visual_step > 1e-6:
+                    self._scale_pairs.append((visual_step, imu_step))
+            self._last_visual_center = center
+            self.state = self.state._replace(p=jnp.zeros(3))  # re-anchor
+            if len(self._scale_pairs) >= self.scale_window:
+                vs = np.array([a for a, _ in self._scale_pairs])
+                ms = np.array([b for _, b in self._scale_pairs])
+                self.metric_scale = float(ms.sum() / max(vs.sum(), 1e-12))
+                self.mode = FuserMode.TRACKING
+            return
+
+        if self.mode == FuserMode.TRACKING:
+            # scale the visual pose into metric units before the EKF update
+            s = self.metric_scale or 1.0
+            metric = Pose(visual_pose.R, visual_pose.t * s)
+            self.state = ekf_update_pose(self.state, metric)
+
+    # -- outputs ---------------------------------------------------------- #
+    def pose_prior(self) -> Pose | None:
+        """IMU-predicted pose prior in VISUAL map units (IMUPosePriorProvider)."""
+        if self.mode != FuserMode.TRACKING or self.metric_scale is None:
+            return None
+        metric = pose_from_state(self.state)
+        inv_s = 1.0 / self.metric_scale
+        return Pose(metric.R, metric.t * inv_s)

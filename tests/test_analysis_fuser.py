@@ -1,0 +1,149 @@
+"""VOI, cloud denoising, and VI-fuser tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mageslam_tpu.analysis import (
+    VoiSettings,
+    calculate_volume_of_interest,
+    compute_characteristics,
+    compute_normals,
+    knn,
+    make_voi_keyframes,
+    mollify_normals,
+    reposition_points,
+)
+from mageslam_tpu.fuser import (
+    Fuser,
+    FuserMode,
+    SampleType,
+    SensorSample,
+    ekf_init,
+    ekf_predict,
+    ekf_update_pose,
+)
+from mageslam_tpu.fuser.filters import GRAVITY, pose_from_state, quat_to_rot
+from mageslam_tpu.geometry.se3 import Pose
+
+
+class TestVoi:
+    def test_aabb_covers_view_targets(self):
+        # 4 cameras on a ring around origin looking inward from distance 3
+        K = 4
+        poses_R, poses_t = [], []
+        for i in range(K):
+            a = 2 * np.pi * i / K
+            c = np.array([3 * np.cos(a), 3 * np.sin(a), 0.0], np.float32)
+            fwd = -c / np.linalg.norm(c)
+            up = np.array([0.0, 0.0, 1.0], np.float32)
+            right = np.cross(up, fwd)
+            R = np.stack([right, np.cross(fwd, right), fwd])  # world→cam rows
+            t = -R @ c
+            poses_R.append(R)
+            poses_t.append(t)
+        poses = Pose(jnp.asarray(np.stack(poses_R)), jnp.asarray(np.stack(poses_t)))
+        kf = make_voi_keyframes(
+            poses, jnp.full((K,), 2.0), jnp.full((K,), 4.0),
+            jnp.ones((K,), bool), VoiSettings())
+        lo, hi, ok = calculate_volume_of_interest(kf, VoiSettings())
+        assert bool(ok)
+        lo, hi = np.array(lo), np.array(hi)
+        # the mutual view target (origin region) is inside the AABB
+        assert (lo <= 0).all() and (hi >= 0).all(), (lo, hi)
+        # and the volume is bounded (not the whole space)
+        assert (hi - lo).max() < 12.0
+
+
+class TestClouds:
+    def test_normals_of_plane(self, rng):
+        n = 200
+        pts = np.zeros((n, 3), np.float32)
+        pts[:, 0] = rng.uniform(-1, 1, n)
+        pts[:, 1] = rng.uniform(-1, 1, n)
+        pts[:, 2] = rng.normal(0, 0.01, n)
+        valid = jnp.ones((n,), bool)
+        nbr, dist = knn(jnp.asarray(pts), valid, 8)
+        normals = compute_normals(jnp.asarray(pts), valid, nbr)
+        nz = np.abs(np.array(normals)[:, 2])
+        assert (nz > 0.95).mean() > 0.9
+
+    def test_mollify_aligns_normals(self, rng):
+        n = 100
+        pts = jnp.asarray(rng.uniform(-0.1, 0.1, (n, 3)).astype(np.float32))
+        normals = np.tile(np.array([0, 0, 1.0], np.float32), (n, 1))
+        normals[::7] = [1.0, 0, 0]   # outliers
+        out = mollify_normals(pts, jnp.asarray(normals), jnp.ones((n,), bool),
+                              normal_scale=1.0, spatial_scale=1.0)
+        assert float(jnp.mean(out[:, 2])) > 0.8
+
+    def test_reposition_reduces_plane_noise(self, rng):
+        n = 300
+        pts = np.zeros((n, 3), np.float32)
+        pts[:, 0] = rng.uniform(-1, 1, n)
+        pts[:, 1] = rng.uniform(-1, 1, n)
+        pts[:, 2] = rng.normal(0, 0.05, n)
+        out = reposition_points(jnp.asarray(pts), jnp.ones((n,), bool),
+                                sigma_s=0.3, steps=3, k=12)
+        before = np.abs(pts[:, 2]).mean()
+        after = np.abs(np.array(out)[:, 2]).mean()
+        assert after < before * 0.6, (before, after)
+
+    def test_characteristics_shapes(self, rng):
+        n = 64
+        pts = jnp.asarray(rng.uniform(-1, 1, (n, 3)).astype(np.float32))
+        valid = jnp.ones((n,), bool)
+        nbr, dist = knn(pts, valid, 6)
+        normals = compute_normals(pts, valid, nbr)
+        e, d, h = compute_characteristics(pts, normals, valid, nbr, dist)
+        assert e.shape == d.shape == h.shape == (n,)
+        assert bool(jnp.all(jnp.isfinite(e)))
+
+
+class TestEkf:
+    def test_static_propagation_stays_put(self):
+        st = ekf_init()
+        gyro = jnp.zeros(3)
+        accel = jnp.array([0.0, 0.0, GRAVITY])   # measures -g when static
+        for _ in range(100):
+            st = ekf_predict(st, gyro, accel, jnp.float32(0.01))
+        assert float(jnp.linalg.norm(st.p)) < 1e-3
+        assert float(jnp.linalg.norm(st.v)) < 1e-3
+
+    def test_visual_updates_pull_position(self):
+        st = ekf_init()
+        target = Pose(jnp.eye(3), jnp.array([-1.0, 0.0, 0.0]))  # center (1,0,0)
+        for _ in range(20):
+            st = ekf_update_pose(st, target)
+        assert abs(float(st.p[0]) - 1.0) < 0.05
+        prior = pose_from_state(st)
+        np.testing.assert_allclose(np.array(prior.center()),
+                                   [1.0, 0.0, 0.0], atol=0.05)
+
+    def test_fuser_mode_machine(self):
+        f = Fuser(scale_window=3)
+        assert f.mode == FuserMode.WAIT_FOR_MAGE_INIT
+        f.on_mage_initialized()
+        assert f.mode == FuserMode.WAIT_FOR_GRAVITY
+        # static accel samples → gravity converges
+        t = 0.0
+        for i in range(60):
+            t += 0.01
+            f.add_sample(SensorSample(SampleType.ACCELEROMETER, t,
+                                      np.array([0, 0, GRAVITY], np.float32)))
+            if i % 10 == 9:
+                f.process_frame(None, t)
+            if f.mode != FuserMode.WAIT_FOR_GRAVITY:
+                break
+        assert f.mode == FuserMode.SCALE_INIT
+        # moving visual poses with matching IMU → scale estimate → TRACKING
+        for k in range(6):
+            t += 0.1
+            f.add_sample(SensorSample(SampleType.GYROMETER, t - 0.05,
+                                      np.zeros(3, np.float32)))
+            f.add_sample(SensorSample(SampleType.ACCELEROMETER, t - 0.05,
+                                      np.array([0, 0, GRAVITY], np.float32)))
+            pose = Pose(jnp.eye(3), jnp.array([-0.1 * k, 0.0, 0.0]))
+            f.process_frame(pose, t)
+        assert f.mode == FuserMode.TRACKING
+        assert f.metric_scale is not None
+        assert f.pose_prior() is not None

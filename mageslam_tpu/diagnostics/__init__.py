@@ -1,0 +1,12 @@
+"""Diagnostics: determinism tracing, metric channels, structured inspection.
+
+Replaces the reference's observability stack (SURVEY §5.1/§5.5):
+  - arcana `determinator` (analysis/determinator.h:16-61) → `trace.Determinator`:
+    CRC32 hashes of pipeline intermediates, recordable and replay-comparable
+  - `FIRE_OBJECT_TRACE` channels (analysis/object_trace.h) → `trace.MetricChannels`
+  - SkeletonKey/SkeletonLogger (Debugging/) → `introspect.Introspection`:
+    leveled structured dumps + live state access fan-out
+"""
+
+from .trace import Determinator, MetricChannels, hash_tree  # noqa: F401
+from .introspect import Introspection, LogLevel  # noqa: F401

@@ -1,0 +1,137 @@
+"""IO (capture/snapshot), device presets, diagnostics (determinator/metrics/
+introspection) tests."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mageslam_tpu.device import get_camera_device, get_imu_characterization
+from mageslam_tpu.diagnostics import (
+    Determinator,
+    Introspection,
+    LogLevel,
+    MetricChannels,
+    hash_tree,
+)
+from mageslam_tpu.io import (
+    CaptureHeader,
+    CaptureReader,
+    CaptureWriter,
+    load_session_snapshot,
+    save_session_snapshot,
+)
+from mageslam_tpu.runtime import SlamSession, TrackingState
+
+from test_pipeline import CAM, W, H, frame_features, make_world, pose_at
+
+
+class TestCapture:
+    def test_roundtrip(self, rng, tmp_path):
+        path = str(tmp_path / "session.mgts")
+        cam = np.zeros(16, np.float32)
+        cam[:4] = [260, 260, 160, 90]
+        frames = [rng.randint(0, 256, (180, 320)).astype(np.uint8) for _ in range(3)]
+        with CaptureWriter(path, CaptureHeader(320, 180, cam, "TestCam")) as w:
+            for i, f in enumerate(frames):
+                w.write_frame(f, i * 0.033, i)
+        with CaptureReader(path) as r:
+            assert r.header.width == 320 and r.header.device == "TestCam"
+            np.testing.assert_allclose(r.header.cam[:4], cam[:4])
+            out = list(r.frames())
+        assert len(out) == 3
+        for i, (px, ts, fid) in enumerate(out):
+            np.testing.assert_array_equal(px, frames[i])
+            assert fid == i and abs(ts - i * 0.033) < 1e-9
+
+    def test_rejects_bad_magic(self, tmp_path):
+        path = str(tmp_path / "bad.bin")
+        with open(path, "wb") as f:
+            f.write(b"JUNK" + b"\0" * 200)
+        with pytest.raises(ValueError):
+            CaptureReader(path)
+
+
+class TestSnapshot:
+    def test_session_roundtrip(self, rng, tmp_path):
+        pts, descs = make_world(rng)
+        sess = SlamSession(cam=CAM, image_width=int(W), image_height=int(H))
+        for i in range(20):
+            t = i * 0.033
+            sess.process_features(frame_features(pts, descs, pose_at(t), sess.N, rng), t, i)
+        assert sess.initialized
+        path = str(tmp_path / "snap.npz")
+        save_session_snapshot(path, sess)
+
+        sess2 = SlamSession(cam=CAM, image_width=int(W), image_height=int(H))
+        load_session_snapshot(path, sess2)
+        assert sess2.initialized
+        np.testing.assert_array_equal(np.array(sess2.map.kf_valid),
+                                      np.array(sess.map.kf_valid))
+        np.testing.assert_allclose(np.array(sess2.map.mp_pos),
+                                   np.array(sess.map.mp_pos))
+        # the restored session keeps tracking
+        t = 20 * 0.033
+        r = sess2.process_features(
+            frame_features(pts, descs, pose_at(t), sess2.N, rng), t, 20)
+        assert r.state == TrackingState.TRACKING
+
+
+class TestDevices:
+    def test_presets(self):
+        for name in ("SurfacePro3", "SurfaceBook", "Lumia950"):
+            dev = get_camera_device(name)
+            cam = dev.model.camera_at(dev.default_focus or 600.0, 640, 480)
+            assert float(cam[0]) > 100.0   # plausible fx in pixels
+        imu = get_imu_characterization("Lumia950")
+        assert imu.accel_noise_sigma > 0 and imu.gyro_noise_sigma > 0
+        with pytest.raises(ValueError):
+            get_camera_device("NotADevice")
+
+
+class TestDiagnostics:
+    def test_determinator_record_verify(self, tmp_path):
+        path = str(tmp_path / "det.json")
+        d = Determinator()
+        a = jnp.arange(10.0)
+        d.check("stage1", a)
+        d.check("stage2", a * 2)
+        d.save(path)
+
+        v = Determinator()
+        v.load_for_verify(path)
+        v.check("stage1", a)
+        v.check("stage2", a * 2)
+        assert v.is_deterministic
+
+        v2 = Determinator()
+        v2.load_for_verify(path)
+        v2.check("stage1", a)
+        v2.check("stage2", a * 3)    # diverges
+        assert not v2.is_deterministic
+        assert v2.divergences[0]["index"] == 1
+
+    def test_hash_tree_sensitivity(self):
+        t1 = {"a": jnp.ones(4), "b": jnp.zeros((2, 2))}
+        t2 = {"a": jnp.ones(4), "b": jnp.zeros((4,))}   # same bytes, diff shape
+        assert hash_tree(t1) != hash_tree(t2)
+
+    def test_metric_channels(self):
+        m = MetricChannels()
+        got = []
+        m.subscribe("TrackLocalMap.NumOutliers", lambda f, v: got.append((f, v)))
+        m.fire("TrackLocalMap.NumOutliers", 3, 7.0)
+        assert m.points("TrackLocalMap.NumOutliers") == [(3, 7.0)]
+        assert got == [(3, 7.0)]
+
+    def test_introspection_levels(self, tmp_path):
+        intr = Introspection(LogLevel.TRACKING)
+        seen = []
+        intr.attach(seen.append)
+        intr.log(LogLevel.TRACKING, "pose", frame_id=1)
+        intr.log(LogLevel.MAPPING, "map", frame_id=1)   # filtered from events
+        assert len(intr.events) == 1
+        assert len(seen) == 2                            # observers get all
+        intr.dump(str(tmp_path / "log.jsonl"))
+        assert os.path.getsize(str(tmp_path / "log.jsonl")) > 0

@@ -8,12 +8,9 @@ Each timed frame runs BOTH stages of the per-frame pipeline at full budgets:
 plus the mapping schedule (new points + local BA + culls) whenever the
 keyframe decision fires — exactly the work MAGE-SLAM does per frame.
 
-Tracking correctness is enforced: the run aborts to value 0 if frames stop
-tracking. The tracking stage consumes a synthetic feature stream with stable
-descriptors (the frontend's output on these synthetic renders is too unstable
-across wide baselines to initialize monocular SLAM — a fidelity limit of the
-renderer, not of the pipeline; tests/test_frontend.py oracle-checks the
-frontend against cv2 and tests/test_pipeline.py checks tracking ATE).
+Fully end-to-end: the frontend's features from the rendered images drive
+initialization and tracking (no side-channel ground truth). Tracking
+correctness is enforced: untracked frames zero out the reported value.
 
 Prints ONE JSON line. vs_baseline is against the reference's 30 fps design
 target (TARGET_FRAME_RATE, Core/MAGESLAM/Source/MAGESlam.cpp:35-38) — the
@@ -29,7 +26,7 @@ import numpy as np
 W, H = 640, 480
 FX = FY = 520.0
 CX, CY = 320.0, 240.0
-N_POINTS = 600
+N_POINTS = 250
 N_FRAMES = 80
 WARMUP_FRAMES = 25
 
@@ -40,7 +37,6 @@ def build_world(rng):
         rng.uniform(-3, 3, N_POINTS),
         rng.uniform(3, 8, N_POINTS),
     ], 1).astype(np.float32)
-    descs = rng.randint(0, 2**31, (N_POINTS, 8)).astype(np.uint32)
     coarse = rng.randint(0, 256, (N_POINTS, 5, 5)).astype(np.float32)
     patches = np.empty((N_POINTS, 17, 17), np.float32)
     xs = np.linspace(0, 4, 17)
@@ -48,7 +44,7 @@ def build_world(rng):
         rows = np.stack([np.interp(xs, np.arange(5), coarse[i, r]) for r in range(5)])
         patches[i] = np.stack([np.interp(xs, np.arange(5), rows[:, c])
                                for c in range(17)], axis=1)
-    return pts, descs, patches
+    return pts, patches
 
 
 def camera_center(t):
@@ -69,29 +65,6 @@ def render(pts, patches, t):
     return img
 
 
-def synth_features(pts, descs, t, n_slots, rng, jnp, FrameFeatures):
-    c = camera_center(t)
-    Xc = pts - c[None, :]
-    z = Xc[:, 2]
-    uv = np.stack([FX * Xc[:, 0] / z + CX, FY * Xc[:, 1] / z + CY], 1).astype(np.float32)
-    vis = (z > 1.0) & (uv[:, 0] > 12) & (uv[:, 0] < W - 12) \
-        & (uv[:, 1] > 12) & (uv[:, 1] < H - 12)
-    idx = np.where(vis)[0][:n_slots]
-    n = len(idx)
-    xy = np.full((n_slots, 2), -1e6, np.float32)
-    xy[:n] = uv[idx] + rng.normal(0, 0.3, (n, 2)).astype(np.float32)
-    d = np.zeros((n_slots, 8), np.uint32)
-    d[:n] = descs[idx]
-    valid = np.arange(n_slots) < n
-    return FrameFeatures(
-        xy=jnp.asarray(xy), und_xy=jnp.asarray(xy),
-        response=jnp.where(jnp.asarray(valid), 10.0, 0.0),
-        octave=jnp.zeros((n_slots,), np.int32),
-        angle=jnp.zeros((n_slots,), np.float32),
-        desc=jnp.asarray(d), valid=jnp.asarray(valid),
-    )
-
-
 def main():
     import jax
     import jax.numpy as jnp
@@ -99,23 +72,16 @@ def main():
     from mageslam_tpu.runtime import SlamSession, TrackingState
 
     rng = np.random.RandomState(7)
-    pts, descs, patches = build_world(rng)
+    pts, patches = build_world(rng)
     images = [jnp.asarray(render(pts, patches, i * 0.033)) for i in range(N_FRAMES)]
     cam = jnp.array([FX, FY, CX, CY], jnp.float32)
     sess = SlamSession(cam=cam, image_width=W, image_height=H)
-    feats_list = [
-        synth_features(pts, descs, i * 0.033, sess.N, rng, jnp, FrameFeatures)
-        for i in range(N_FRAMES)
-    ]
 
     def one_frame(i, pipelined=True):
-        f_img = detect_and_compute(images[i], sess.cam16, sess.fes, sess.N)
+        feats = detect_and_compute(images[i], sess.cam16, sess.fes, sess.N)
         if pipelined:
-            r = sess.process_features_pipelined(feats_list[i], i * 0.033, i)
-        else:
-            r = sess.process_features(feats_list[i], i * 0.033, i)
-            jax.block_until_ready(f_img)
-        return r
+            return sess.process_features_pipelined(feats, i * 0.033, i)
+        return sess.process_features(feats, i * 0.033, i)
 
     i = 0
     while i < WARMUP_FRAMES:

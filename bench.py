@@ -27,8 +27,8 @@ W, H = 640, 480
 FX = FY = 520.0
 CX, CY = 320.0, 240.0
 N_POINTS = 250
-N_FRAMES = 80
-WARMUP_FRAMES = 25
+N_FRAMES = 240
+WARMUP_FRAMES = 40
 
 
 def build_world(rng):
@@ -47,8 +47,15 @@ def build_world(rng):
     return pts, patches
 
 
+T_WARM = 1.0   # linear travel during warmup gives init parallax
+
+
 def camera_center(t):
-    return np.array([1.1 * t, 0.05 * np.sin(1.5 * t), 0.0], np.float32)
+    # linear travel until T_WARM (parallax for initialization), then oscillate
+    # across the mapped region so the timed window is steady-state tracking
+    base = 1.1 * min(t, T_WARM)
+    osc = 0.45 * np.sin(1.2 * max(t - T_WARM, 0.0))
+    return np.array([base + osc, 0.05 * np.sin(1.5 * t), 0.0], np.float32)
 
 
 def render(pts, patches, t):
@@ -76,6 +83,10 @@ def main():
     images = [jnp.asarray(render(pts, patches, i * 0.033)) for i in range(N_FRAMES)]
     cam = jnp.array([FX, FY, CX, CY], jnp.float32)
     sess = SlamSession(cam=cam, image_width=W, image_height=H)
+    # deepen the flag-readback pipeline beyond the keyframe backlog default:
+    # over the remote relay each readback costs a full RTT, and depth 8 keeps
+    # the device saturated through latency jitter
+    sess._pipeline_depth = 8
 
     def one_frame(i, pipelined=True):
         feats = detect_and_compute(images[i], sess.cam16, sess.fes, sess.N)

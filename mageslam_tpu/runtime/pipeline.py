@@ -414,6 +414,10 @@ class SlamSession:
                 max_outlier_error=ts.MaxOutlierError,
                 max_outlier_error_pose_estimation=ts.MaxOutlierErrorPoseEstimation,
                 min_tracked_features=ts.MinTrackedFeatureCount,
+                stage1_iters=ts.InitialPoseEstimateBundleAdjustmentSteps,
+                stage2_iters=ts.BundleAdjustmentG2OSteps,
+                stage1_huber=ts.InitialPoseEstimateBundleAdjustmentHuberWidth,
+                stage2_huber=ts.BundleAdjustmentHuberWidth,
             )
             success = gm.succeeded & res.succeeded
             return res._replace(succeeded=success)

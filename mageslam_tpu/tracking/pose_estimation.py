@@ -73,6 +73,7 @@ def estimate_pose_with_prior(
     max_hamming: int = 45,
     min_hamming_diff: int = 8,
     min_refinement_count: int = 0,
+    use_mxu: bool = True,
 ) -> GuidedMatchResult:
     """The prior tracking path. `frame.pose` must already hold the prior.
 
@@ -118,13 +119,23 @@ def estimate_pose_with_prior(
     # would carry octaves; use 0s matched against target octave 0..L.
     q_oct = jnp.zeros((H * N,), jnp.int32)
 
-    def stage(q_xy, extra_radius):
-        idx, dist = radius_match(
-            flat_desc, q_xy, q_oct, cand,
-            frame.desc, frame.kp_xy, jnp.zeros((N,), jnp.int32), frame.kp_valid,
-            jnp.float32(extra_radius), jnp.int32(max_hamming), jnp.int32(min_hamming_diff),
-        )
-        idx = dedup_by_target(idx, dist)
+    # one (H·N, N) Hamming matrix shared by all three cascade stages — only
+    # the spatial mask differs per stage
+    from ..ops.matching import BIG as _MBIG, _best_and_second, hamming_matrix
+
+    dmat = hamming_matrix(flat_desc, frame.desc, use_mxu=use_mxu)
+    dmat = jnp.where(cand[:, None] & frame.kp_valid[None, :], dmat, _MBIG)
+
+    def stage(q_xy, radius):
+        dx = jnp.abs(q_xy[:, None, 0] - frame.kp_xy[None, :, 0])
+        dy = jnp.abs(q_xy[:, None, 1] - frame.kp_xy[None, :, 1])
+        in_box = (dx <= radius) & (dy <= radius)
+        d = jnp.where(in_box, dmat, _MBIG)
+        best_idx, best_val, second_val = _best_and_second(d)
+        m_ok = (best_val <= max_hamming) & (
+            (second_val >= _MBIG) | (second_val - best_val > min_hamming_diff))
+        idx = jnp.where(m_ok, best_idx, -1)
+        idx = dedup_by_target(idx, jnp.where(m_ok, best_val, -1))
         return idx, jnp.sum((idx >= 0).astype(jnp.int32))
 
     idx1, n1 = stage(predicted, search_radius)

@@ -81,6 +81,7 @@ def track_local_map(
     max_outlier_error: float = 2.2,
     min_tracked_features: int = 20,
     score_recent_points: bool = True,
+    use_mxu: bool = True,            # MXU bit-matmul for the (P, N) Hamming matrix
 ) -> TrackLocalMapResult:
     P = state.mp_valid.shape[0]
     N = frame.kp_xy.shape[0]
@@ -164,7 +165,7 @@ def track_local_map(
         state.mp_desc, proj_xy, jnp.clip(octv, 0, num_levels - 1), is_predicted,
         frame.desc, frame.kp_xy, frame.kp_octave, unassociated,
         jnp.float32(match_search_radius), jnp.int32(max_hamming),
-        jnp.int32(min_hamming_diff),
+        jnp.int32(min_hamming_diff), use_mxu=use_mxu,
     )
     m_idx = dedup_by_target(m_idx, m_dist)
     matched = m_idx >= 0

@@ -42,6 +42,7 @@ from ..tracking.pose_estimation import (
     estimate_pose_with_prior,
 )
 from ..tracking.track_local_map import track_local_map
+from ..tracking.bounding_depths import calculate_bounding_plane_depths
 from ..worldmap.ba_window import apply_ba_results, build_local_ba_window
 from ..worldmap.covisibility import covisibility_matrix, membership_matrix
 from ..worldmap.map_state import MapState, empty_map, refresh_point_stats
@@ -81,7 +82,14 @@ class SlamSession:
     def __init__(self, settings: MageSlamSettings | None = None,
                  cam: jax.Array | None = None,
                  image_width: int = 320, image_height: int = 180,
-                 seed: int = 1234):
+                 seed: int = 1234,
+                 metrics=None, introspection=None, determinator=None):
+        # optional diagnostics (diagnostics.MetricChannels / Introspection /
+        # Determinator) — None keeps the hot path free of host readbacks,
+        # matching the reference's compiled-out release macros (SURVEY §5.1)
+        self.metrics = metrics
+        self.introspection = introspection
+        self.determinator = determinator
         self.settings = settings or golden_path_settings()
         b = self.settings.Budgets
         self.fes = self.settings.MonoSettings.MonoCamera.FeatureExtractorSettings
@@ -103,6 +111,12 @@ class SlamSession:
 
         self.bow = empty_index(b.MaxKeyframes,
                                num_words=64)
+        # visual-inertial path (FuserSettings.UseFuser; golden path = False)
+        self.fuser = None
+        if self.settings.FuserSettings.UseFuser:
+            from ..fuser import Fuser
+
+            self.fuser = Fuser()
         self._track_core = self._build_track_core()
         self._post_core = self._build_post_core()
         self._mapping_core = self._build_mapping_core()
@@ -124,6 +138,12 @@ class SlamSession:
         self.results: list[FrameResult] = []
 
     # ------------------------------------------------------------------ #
+    def add_sensor_sample(self, sample) -> None:
+        """MAGESlam::AddSensorSample (MageSlam.cpp:250) — queue an inertial
+        sample for the fuser (no-op when UseFuser is off)."""
+        if self.fuser is not None:
+            self.fuser.add_sample(sample)
+
     def process_frame(self, image: np.ndarray | jax.Array,
                       timestamp: float, frame_id: int) -> FrameResult:
         """Analyze + track one grayscale frame (H, W) float32 [0,255]."""
@@ -147,11 +167,13 @@ class SlamSession:
             return prev or res
 
         frame = self._frame(feats, Pose.identity(), timestamp, frame_id)
+        prior, prior_valid = self._imu_prior()
         self.map, self.history, self.pose_history, frame_out, flags = \
             self._step_core(
                 self.map, self.history, self.pose_history, frame,
                 np.int32(self.frames_since_keyframe + 1),
                 np.int32(min(self.frames_since_reloc + 1, 10_000)),
+                prior, prior_valid,
             )
         try:
             flags.copy_to_host_async()
@@ -372,6 +394,8 @@ class SlamSession:
         self.lost_count = 0
         self.frames_since_keyframe = 0
         self.last_kf_slot = 1
+        if self.fuser is not None:
+            self.fuser.on_mage_initialized()
 
     # ------------------------------------------------------------------ #
     def _build_track_core(self):
@@ -385,8 +409,12 @@ class SlamSession:
         width, height = self.width, self.height
 
         def core(map_state: MapState, history: TrackingHistory,
-                 frame: TrackedFrame):
-            prior = estimate_next_pose_from_history(history, frame.timestamp)
+                 frame: TrackedFrame, prior_override: Pose, prior_valid):
+            mm = estimate_next_pose_from_history(history, frame.timestamp)
+            prior = Pose(
+                jnp.where(prior_valid, prior_override.R, mm.R),
+                jnp.where(prior_valid, prior_override.t, mm.t),
+            )
             frame = frame._replace(pose=prior)
             gm = estimate_pose_with_prior(
                 frame, history, map_state.mp_pos, map_state.mp_valid,
@@ -430,6 +458,7 @@ class SlamSession:
         history advance, pose-history record against the nearest keyframe,
         and the new-keyframe decision — one dispatch per tracked frame."""
         ks = self.settings.KeyframeSettings
+        bds = self.settings.BoundingDepthSettings
         width, height = self.width, self.height
 
         def post(map_state: MapState, history: TrackingHistory,
@@ -447,10 +476,16 @@ class SlamSession:
                 axis=-1,
             )
             kf_slot = jnp.argmin(jnp.where(map_state.kf_valid, d2, jnp.inf)).astype(jnp.int32)
+            bd = calculate_bounding_plane_depths(
+                frame, map_state, width, height,
+                roi_min_x=bds.RegionOfInterestMinX, roi_min_y=bds.RegionOfInterestMinY,
+                roi_max_x=bds.RegionOfInterestMaxX, roi_max_y=bds.RegionOfInterestMaxY,
+                near_softness=bds.NearDepthSoftness, far_softness=bds.FarDepthSoftness,
+            )
             pose_history = pose_history.add(
                 frame.frame_id, frame.pose,
                 Pose(map_state.kf_pose.R[kf_slot], map_state.kf_pose.t[kf_slot]),
-                kf_slot,
+                kf_slot, near=bd.near, far=bd.far,
             )
 
             member = membership_matrix(map_state)
@@ -500,8 +535,9 @@ class SlamSession:
         post_fn = self._post_fn
 
         def step(map_state, history, pose_history, frame,
-                 frames_since_keyframe, frames_since_reloc):
-            res = track_fn(map_state, history, frame)
+                 frames_since_keyframe, frames_since_reloc,
+                 prior_override, prior_valid):
+            res = track_fn(map_state, history, frame, prior_override, prior_valid)
             m2, h2, ph2, is_kf = post_fn(
                 map_state, history, pose_history, res.frame,
                 res.found_delta, res.predicted_delta,
@@ -523,16 +559,37 @@ class SlamSession:
 
         return jax.jit(step)
 
+    def _imu_prior(self):
+        if self.fuser is None:
+            return Pose.identity(), np.bool_(False)
+        p = self.fuser.pose_prior()
+        if p is None:
+            return Pose.identity(), np.bool_(False)
+        return p, np.bool_(True)
+
     def _track(self, feats, timestamp, frame_id) -> FrameResult:
         frame = self._frame(feats, Pose.identity(), timestamp, frame_id)
-        res = self._track_core(self.map, self.history, frame)
+        prior, prior_valid = self._imu_prior()
+        res = self._track_core(self.map, self.history, frame, prior, prior_valid)
         if not bool(res.succeeded):
+            if self.fuser is not None:
+                self.fuser.process_frame(None, timestamp)
             return self._tracking_failed(frame_id)
+        if self.fuser is not None:
+            self.fuser.process_frame(res.frame.pose, timestamp)
 
         frame = res.frame
         self.lost_count = 0
         self.frames_since_keyframe += 1
         self.frames_since_reloc += 1
+
+        if self.metrics is not None:
+            self.metrics.fire("TrackLocalMap.NumMatchedKeypoints", frame_id,
+                              int(res.tracked_count))
+        if self.determinator is not None:
+            self.determinator.check("TrackLocalMap.Pose", frame.pose)
+        if self.introspection is not None:
+            self.introspection.log_pose(3, frame_id, frame.pose)
 
         self.map, self.history, self.pose_history, is_kf_dev = self._post_core(
             self.map, self.history, self.pose_history, frame,
@@ -543,6 +600,13 @@ class SlamSession:
         is_kf = bool(is_kf_dev)
         if is_kf:
             self._insert_keyframe_and_map(frame, frame_id)
+            if self.metrics is not None:
+                self.metrics.fire("Mappoints.Total", frame_id,
+                                  int(jnp.sum(self.map.mp_valid)))
+            if self.introspection is not None:
+                self.introspection.log_map_stats(
+                    frame_id, int(jnp.sum(self.map.kf_valid)),
+                    int(jnp.sum(self.map.mp_valid)))
 
         return FrameResult(frame_id, TrackingState.TRACKING, frame.pose,
                            int(res.tracked_count), is_kf)
@@ -644,9 +708,67 @@ class SlamSession:
         width, height = self.width, self.height
         cam = self.cam
 
+        lc = self.settings.LoopClosureSettings
+
+        def cheap_loop_closure(map_state: MapState, frame: TrackedFrame):
+            """Extra associations against the WHOLE point bank at the wide
+            loop-closure radius before insertion (MappingWorker.cpp:20-73 —
+            the reference samples 200 points per pass; one dense batched pass
+            covers the full bank). Reconnects points tracking discarded."""
+            from ..ops.matching import dedup_by_target, radius_match
+            from ..worldmap.map_state import predict_octave
+
+            P = map_state.mp_valid.shape[0]
+            N = frame.kp_xy.shape[0]
+            a_ok = (frame.assoc >= 0) & frame.kp_valid
+            safe = jnp.where(a_ok, frame.assoc, 0)
+            already = jnp.zeros((P,), bool).at[safe].max(a_ok)
+            cand = map_state.mp_valid & jnp.logical_not(already)
+
+            Xc = frame.pose.transform(map_state.mp_pos)
+            z = Xc[:, 2]
+            inv_z = 1.0 / jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+            u = frame.cam[0] * Xc[:, 0] * inv_z + frame.cam[2]
+            v = frame.cam[1] * Xc[:, 1] * inv_z + frame.cam[3]
+            border = fes.PatchSize / 2.0 - lc.MatchSearchRadius / 2.0
+            in_b = ((u >= border) & (u < width - border)
+                    & (v >= border) & (v < height - border))
+            fwd = frame.pose.forward()
+            angle_ok = jnp.einsum("pi,i->p", map_state.mp_mean_dir, fwd) >= jnp.cos(
+                jnp.deg2rad(jnp.float32(
+                    ts.MinDegreesBetweenCurrentViewAndMapPointView)))
+            dist = jnp.linalg.norm(
+                map_state.mp_pos - frame.pose.center()[None], axis=-1)
+            range_ok = (dist >= map_state.mp_dmin) & (dist <= map_state.mp_dmax)
+            octv = predict_octave(dist, map_state.mp_dmin, fes.ScaleFactor)
+            good = cand & (z > 0) & in_b & angle_ok & range_ok \
+                & (octv >= 0) & (octv <= fes.NumLevels)
+
+            unassoc = frame.kp_valid & (frame.assoc < 0)
+            m_idx, m_dist = radius_match(
+                map_state.mp_desc, jnp.stack([u, v], axis=-1),
+                jnp.clip(octv, 0, fes.NumLevels - 1), good,
+                frame.desc, frame.kp_xy, frame.kp_octave, unassoc,
+                jnp.float32(lc.MatchSearchRadius),
+                jnp.int32(lc.CheapLoopClosureMatchingSettings.MaxHammingDistance),
+                jnp.int32(lc.CheapLoopClosureMatchingSettings.MinHammingDifference),
+                use_mxu=True,
+            )
+            m_idx = dedup_by_target(m_idx, m_dist)
+            hit = m_idx >= 0
+            tgt = jnp.where(hit, m_idx, N)
+            new_assoc = frame.assoc.at[tgt].set(
+                jnp.where(hit, jnp.arange(P, dtype=jnp.int32), -1), mode="drop")
+            return frame._replace(assoc=new_assoc)
+
         def mapping(map_state: MapState, pose_history: PoseHistory,
                     frame: TrackedFrame, map_scale):
             state0, ph0 = map_state, pose_history
+            n_kf = jnp.sum(map_state.kf_valid.astype(jnp.int32))
+            frame = jax.tree.map(
+                lambda a, b: jnp.where(
+                    jnp.reshape(n_kf >= lc.MinKeyframe, (1,) * a.ndim), a, b),
+                cheap_loop_closure(map_state, frame), frame)
             map_state, ki = insert_keyframe(
                 map_state, frame.pose, cam, frame.frame_id,
                 frame.kp_xy, frame.kp_octave, frame.desc, frame.kp_valid,
@@ -816,3 +938,11 @@ class SlamSession:
         mats = np.array(poses.matrix())
         order = np.argsort(ids[ok])
         return ids[ok][order], mats[ok][order]
+
+    def fossilize_map(self, global_ba_steps: int | None = None):
+        """Fossilize and return the queryable FossilizedMap
+        (MAGESlam::Fossilize -> FossilizedMap, MageSlam.h:109-128)."""
+        from .fossilized import FossilizedMap
+
+        self.fossilize(global_ba_steps)
+        return FossilizedMap(self.map, self.pose_history, self.fes)

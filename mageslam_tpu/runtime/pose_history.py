@@ -25,6 +25,8 @@ class PoseHistory(NamedTuple):
     frame_id: jax.Array    # (H,) int32, -1 = empty
     basis_kf: jax.Array    # (H,) int32 keyframe slot
     rel: Pose              # (H,) relative transforms T_frame ∘ T_kf⁻¹
+    near: jax.Array        # (H,) f32 near bounding-plane depth
+    far: jax.Array         # (H,) f32 far bounding-plane depth
     count: jax.Array       # () int32 — next write index (ring buffer)
 
     @staticmethod
@@ -33,12 +35,15 @@ class PoseHistory(NamedTuple):
             frame_id=jnp.full((capacity,), -1, jnp.int32),
             basis_kf=jnp.zeros((capacity,), jnp.int32),
             rel=Pose.identity((capacity,)),
+            near=jnp.zeros((capacity,), jnp.float32),
+            far=jnp.zeros((capacity,), jnp.float32),
             count=jnp.int32(0),
         )
 
     def add(self, frame_id: jax.Array, pose: Pose, kf_pose: Pose,
-            kf_slot: jax.Array) -> "PoseHistory":
-        """AddHistoricalPose: record pose relative to its basis keyframe."""
+            kf_slot: jax.Array, near=0.0, far=0.0) -> "PoseHistory":
+        """AddHistoricalPose: record pose relative to its basis keyframe,
+        with its bounding-plane depths (PoseHistory.h:88 VOI query needs them)."""
         rel = pose.compose(kf_pose.inverse())
         H = self.frame_id.shape[0]
         i = jnp.mod(self.count, H)
@@ -46,6 +51,8 @@ class PoseHistory(NamedTuple):
             frame_id=self.frame_id.at[i].set(jnp.asarray(frame_id, jnp.int32)),
             basis_kf=self.basis_kf.at[i].set(jnp.asarray(kf_slot, jnp.int32)),
             rel=Pose(self.rel.R.at[i].set(rel.R), self.rel.t.at[i].set(rel.t)),
+            near=self.near.at[i].set(jnp.asarray(near, jnp.float32)),
+            far=self.far.at[i].set(jnp.asarray(far, jnp.float32)),
             count=self.count + 1,
         )
 

@@ -147,3 +147,38 @@ class TestEkf:
         assert f.mode == FuserMode.TRACKING
         assert f.metric_scale is not None
         assert f.pose_prior() is not None
+
+
+class TestVISession:
+    def test_session_with_fuser_tracks(self, rng):
+        """UseFuser=true: IMU samples feed the fuser; the session tracks and
+        the fuser walks its mode machine off the visual updates."""
+        import dataclasses
+        import numpy as np
+        from mageslam_tpu.config import golden_path_settings
+        from mageslam_tpu.runtime import SlamSession, TrackingState
+        from test_pipeline import CAM, W, H, frame_features, make_world, pose_at
+
+        s = golden_path_settings()
+        s = dataclasses.replace(
+            s, FuserSettings=dataclasses.replace(s.FuserSettings, UseFuser=True))
+        pts, descs = make_world(rng)
+        sess = SlamSession(s, cam=CAM, image_width=int(W), image_height=int(H))
+        assert sess.fuser is not None
+        for i in range(30):
+            t = i * 0.033
+            # 3 IMU samples per frame (static-ish dummy data)
+            for k in range(3):
+                ts = t - 0.022 + 0.011 * k
+                sess.add_sensor_sample(SensorSample(
+                    SampleType.GYROMETER, ts, np.zeros(3, np.float32)))
+                sess.add_sensor_sample(SensorSample(
+                    SampleType.ACCELEROMETER, ts,
+                    np.array([0, 0, GRAVITY], np.float32)))
+            sess.process_features(
+                frame_features(pts, descs, pose_at(t), sess.N, rng), t, i)
+        assert sess.initialized
+        tracked = sum(r.state == TrackingState.TRACKING for r in sess.results)
+        assert tracked >= 10
+        # fuser advanced beyond waiting-for-init
+        assert sess.fuser.mode != FuserMode.WAIT_FOR_MAGE_INIT

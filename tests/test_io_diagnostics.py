@@ -135,3 +135,49 @@ class TestDiagnostics:
         assert len(seen) == 2                            # observers get all
         intr.dump(str(tmp_path / "log.jsonl"))
         assert os.path.getsize(str(tmp_path / "log.jsonl")) > 0
+
+
+class TestFossilizedMap:
+    def test_queries(self, rng):
+        pts, descs = make_world(rng)
+        sess = SlamSession(cam=CAM, image_width=int(W), image_height=int(H))
+        for i in range(25):
+            t = i * 0.033
+            sess.process_features(
+                frame_features(pts, descs, pose_at(t), sess.N, rng), t, i)
+        fossil = sess.fossilize_map(global_ba_steps=0)
+
+        ids, mats = fossil.trajectory()
+        assert len(ids) >= 10
+        res = fossil.get_tracking_results([int(ids[0]), 99999])
+        assert res[0] is not None and res[0].shape == (4, 4)
+        assert res[1] is None
+
+        cloud = fossil.map_points()
+        assert cloud.shape[1] == 3 and len(cloud) >= 60
+        smooth = fossil.map_points(denoised=True)
+        assert smooth.shape == cloud.shape
+
+        voi = fossil.try_get_volume_of_interest()
+        assert voi is not None
+        lo, hi = voi
+        assert (hi > lo).all()
+
+
+class TestSessionDiagnostics:
+    def test_hooks_fire(self, rng):
+        from mageslam_tpu.diagnostics import Determinator, Introspection, LogLevel, MetricChannels
+
+        pts, descs = make_world(rng)
+        m = MetricChannels()
+        intr = Introspection(LogLevel.ALL)
+        det = Determinator()
+        sess = SlamSession(cam=CAM, image_width=int(W), image_height=int(H),
+                           metrics=m, introspection=intr, determinator=det)
+        for i in range(20):
+            t = i * 0.033
+            sess.process_features(
+                frame_features(pts, descs, pose_at(t), sess.N, rng), t, i)
+        assert "TrackLocalMap.NumMatchedKeypoints" in m.channels()
+        assert any(e["event"] == "pose" for e in intr.events)
+        assert len(det._stream) > 0

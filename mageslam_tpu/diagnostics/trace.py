@@ -102,3 +102,42 @@ class MetricChannels:
 
     def channels(self) -> list[str]:
         return sorted(self._points)
+
+
+def xray(name: str, sink: list | None = None):
+    """XRAY_FUNCTION equivalent (arcana/analysis/xray.h:28-43): decorator
+    dumping a function's inputs and outputs as JSON-able records for offline
+    diffing. Arrays are summarized as (shape, dtype, crc32) to keep records
+    bounded; pass a list `sink` to collect records, else they accumulate on
+    `xray.records`."""
+    import functools
+
+    target = sink if sink is not None else xray.records
+
+    def summarize(x):
+        try:
+            arr = np.asarray(x)
+            if arr.dtype == object:
+                raise TypeError
+            return {"shape": list(arr.shape), "dtype": str(arr.dtype),
+                    "crc": zlib.crc32(arr.tobytes())}
+        except Exception:
+            return repr(x)[:200]
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            out = fn(*args, **kwargs)
+            target.append({
+                "scope": name,
+                "inputs": [jax.tree.map(summarize, a) for a in args],
+                "outputs": jax.tree.map(summarize, out),
+            })
+            return out
+
+        return wrapper
+
+    return deco
+
+
+xray.records = []

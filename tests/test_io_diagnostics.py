@@ -181,3 +181,50 @@ class TestSessionDiagnostics:
         assert "TrackLocalMap.NumMatchedKeypoints" in m.channels()
         assert any(e["event"] == "pose" for e in intr.events)
         assert len(det._stream) > 0
+
+
+class TestDeterminismReplay:
+    def test_two_identical_runs_replay_bit_identically(self, rng):
+        """The reference's core correctness strategy (SURVEY §4): record CRC
+        hashes of per-frame intermediates, re-run the same inputs, require a
+        bit-identical hash stream."""
+        from mageslam_tpu.diagnostics import Determinator
+
+        pts, descs = make_world(rng)
+        frames = []
+        frng = np.random.RandomState(11)
+        for i in range(18):
+            t = i * 0.033
+            frames.append((frame_features(pts, descs, pose_at(t), 512, frng), t, i))
+
+        def run(det):
+            sess = SlamSession(cam=CAM, image_width=int(W), image_height=int(H),
+                               determinator=det)
+            for feats, t, i in frames:
+                sess.process_features(feats, t, i)
+            return sess
+
+        import tempfile, os
+        d1 = Determinator()
+        run(d1)
+        path = os.path.join(tempfile.mkdtemp(), "trace.json")
+        d1.save(path)
+
+        d2 = Determinator()
+        d2.load_for_verify(path)
+        run(d2)
+        assert d2.is_deterministic, d2.divergences[:3]
+
+    def test_xray_decorator(self):
+        from mageslam_tpu.diagnostics.trace import xray
+
+        sink = []
+
+        @xray("test_fn", sink)
+        def f(a, b):
+            return a + b
+
+        out = f(jnp.arange(4.0), jnp.ones(4))
+        assert len(sink) == 1
+        assert sink[0]["scope"] == "test_fn"
+        assert sink[0]["outputs"]["shape"] == [4]

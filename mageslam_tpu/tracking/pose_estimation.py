@@ -138,19 +138,28 @@ def estimate_pose_with_prior(
         idx = dedup_by_target(idx, jnp.where(m_ok, best_val, -1))
         return idx, jnp.sum((idx >= 0).astype(jnp.int32))
 
-    idx1, n1 = stage(predicted, search_radius)
-    idx2, n2 = stage(predicted, wider_search_radius)
-    idx3, n3 = stage(flat_xy, extra_wider_search_radius)             # own positions
-
     denom = jnp.maximum(n_candidates.astype(jnp.float32), 1.0)
-    ok1 = (n1 >= minimum_feature_matches) & (n1.astype(jnp.float32) / denom >= small_match_ratio)
-    ok2 = (n2 >= minimum_feature_matches) & (n2.astype(jnp.float32) / denom >= small_match_ratio)
 
-    use1 = ok1
-    use2 = jnp.logical_not(ok1) & ok2
-    use3 = jnp.logical_not(ok1) & jnp.logical_not(ok2)
-    idx = jnp.where(use1, idx1, jnp.where(use2, idx2, idx3))
-    count = jnp.where(use1, n1, jnp.where(use2, n2, n3))
+    def stage_ok(n):
+        return (n >= minimum_feature_matches) & (
+            n.astype(jnp.float32) / denom >= small_match_ratio)
+
+    # the wider stages only run when the narrow search came up short — in
+    # steady tracking that is rare, so they live behind lax.cond (only the
+    # taken branch executes on TPU), matching the reference's early-outs
+    idx1, n1 = stage(predicted, search_radius)
+
+    def wider(_):
+        idx2, n2 = stage(predicted, wider_search_radius)
+
+        def widest(_):
+            return stage(flat_xy, extra_wider_search_radius)  # own positions
+
+        return jax.lax.cond(stage_ok(n2), lambda _: (idx2, n2), widest,
+                            operand=None)
+
+    idx, count = jax.lax.cond(stage_ok(n1), lambda _: (idx1, n1), wider,
+                              operand=None)
 
     # invert: per current-frame keypoint, which map point
     has = idx >= 0

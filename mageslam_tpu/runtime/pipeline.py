@@ -36,7 +36,11 @@ from ..geometry.se3 import Pose
 from ..ops.frontend import FrameFeatures, detect_and_compute
 from ..tracking.frame_state import TrackedFrame, TrackingHistory
 from ..tracking.keyframe_decision import KeyframeDecisionInput, is_new_keyframe
-from ..tracking.map_init import InitSettings, try_initialize_pair
+from ..tracking.map_init import (
+    InitSettings,
+    try_initialize_pair,
+    validate_third_frame,
+)
 from ..tracking.pose_estimation import (
     estimate_next_pose_from_history,
     estimate_pose_with_prior,
@@ -135,6 +139,7 @@ class SlamSession:
         self.last_kf_slot = 0
         self.prev_features: FrameFeatures | None = None
         self.prev_meta: tuple[int, float] | None = None  # (frame_id, timestamp)
+        self._init_window: list[tuple[FrameFeatures, float]] = []  # middles
         self.results: list[FrameResult] = []
 
     # ------------------------------------------------------------------ #
@@ -303,6 +308,22 @@ class SlamSession:
                     ransac_batch=self.settings.Budgets.RansacBatch,
                 )
                 ok = bool(res.succeeded)
+                if ok and self._init_window:
+                    # 2(+1)-frame bootstrap: position the buffered middle
+                    # frame against the new map and demand enough BA inliers
+                    # (MapInitialization third-frame validation,
+                    # MinThirdFrameMatchPercentage)
+                    t_mid = (self.prev_meta[1] + timestamp) / 2.0
+                    mid, _ = min(self._init_window,
+                                 key=lambda e: abs(e[1] - t_mid))
+                    self.key, sub2 = jax.random.split(self.key)
+                    ok = bool(validate_third_frame(
+                        res, self.prev_features.desc, self.prev_features.valid,
+                        mid.und_xy, mid.desc, mid.valid, self.cam, sub2,
+                        min_pct=ms.MinThirdFrameMatchPercentage,
+                        max_err=ms.ExtraFrame_MaxOutlierError,
+                        ba_iters=ms.ExtraFrame_BundleAdjustmentSteps,
+                    ))
                 if ok:
                     self._adopt_initialization(res, feats, timestamp, frame_id)
         # anchor management (MapInitialization frame accumulator semantics:
@@ -313,6 +334,11 @@ class SlamSession:
         if self.prev_features is None:
             self.prev_features = feats
             self.prev_meta = (frame_id, timestamp)
+            self._init_window = []
+        elif not ok:
+            self._init_window.append((feats, timestamp))
+            if len(self._init_window) > 16:
+                self._init_window.pop(0)
         if ok:
             return FrameResult(frame_id, TrackingState.TRACKING,
                                Pose(self.map.kf_pose.R[1], self.map.kf_pose.t[1]),

@@ -288,3 +288,43 @@ def try_initialize_pair(
         feat2=m_safe,
         match_count=n_matches,
     )
+
+
+@partial(jax.jit, static_argnames=("min_pct", "ba_iters"))
+def validate_third_frame(
+    result: InitResult,
+    anchor_desc: jax.Array, anchor_valid: jax.Array,
+    third_xy: jax.Array, third_desc: jax.Array, third_valid: jax.Array,
+    cam: jax.Array,
+    key: jax.Array,
+    min_pct: float = 0.5,          # MinThirdFrameMatchPercentage
+    max_err: float = 8.0,          # ExtraFrame_MaxOutlierError
+    ba_iters: int = 5,             # ExtraFrame_BundleAdjustmentSteps
+) -> jax.Array:
+    """Locate a third (middle) frame against the freshly triangulated pair map
+    and require enough BA inliers (the reference's 2(+1)-frame bootstrap:
+    MapInitialization.cpp:699 locate third frame + MinThirdFrameMatchPercentage
+    gate). Returns () bool."""
+    from ..geometry.pnp import pnp_ransac
+
+    # third-frame keypoints ↔ map points via the anchor frame's descriptors
+    # (result.feat1 slots ARE anchor feature slots)
+    m_idx, _ = match_two_way(anchor_desc, anchor_valid & result.point_valid,
+                             third_desc, third_valid, 45, 8)
+    has = m_idx >= 0
+    n_matches = jnp.sum(has.astype(jnp.int32))
+    t_safe = jnp.where(has, m_idx, 0)
+    uv = third_xy[t_safe]
+
+    pnp = pnp_ransac(result.points, uv, has, cam, key,
+                     max_reprojection_error=max_err, min_inliers=10)
+    from ..ba.pose_only import optimize_pose
+
+    pose, chi2, depth = optimize_pose(
+        pnp.pose, cam, result.points, uv, pnp.inliers.astype(jnp.float32),
+        huber_width=4.0, num_iters=ba_iters,
+    )
+    inlier = has & (chi2 <= max_err**2) & (depth > 0)
+    pct = jnp.sum(inlier.astype(jnp.float32)) / jnp.maximum(
+        n_matches.astype(jnp.float32), 1.0)
+    return pnp.ok & (pct >= min_pct)

@@ -228,3 +228,23 @@ class TestDeterminismReplay:
         assert len(sink) == 1
         assert sink[0]["scope"] == "test_fn"
         assert sink[0]["outputs"]["shape"] == [4]
+
+
+class TestConfigJson:
+    def test_settings_json_roundtrip(self, tmp_path):
+        import json
+        import dataclasses
+        from mageslam_tpu.config import (golden_path_settings, load_settings,
+                                         to_dict)
+
+        s = golden_path_settings()
+        s = dataclasses.replace(
+            s, KeyframeSettings=dataclasses.replace(
+                s.KeyframeSettings, KeyframeDecisionMinFrameCount=33))
+        path = str(tmp_path / "settings.json")
+        with open(path, "w") as f:
+            json.dump(to_dict(s), f)
+        loaded = load_settings(path)
+        assert loaded.KeyframeSettings.KeyframeDecisionMinFrameCount == 33
+        assert loaded.Metadata.LoadedFromFile
+        assert loaded.BundleAdjustSettings.HuberWidth == s.BundleAdjustSettings.HuberWidth

@@ -115,3 +115,31 @@ class TestPipeline:
         sess, true_centers = session_run
         ids, mats = sess.fossilize(global_ba_steps=3)
         assert np.isfinite(mats).all()
+
+
+class TestMultiLevelPipeline:
+    def test_tracks_with_three_pyramid_levels(self, rng):
+        """Exercise the octave paths end-to-end (golden path uses 1 level)."""
+        import dataclasses
+
+        s = golden_path_settings()
+        fes = dataclasses.replace(
+            s.MonoSettings.MonoCamera.FeatureExtractorSettings,
+            NumLevels=3, ScaleFactor=1.5)
+        s = dataclasses.replace(
+            s, MonoSettings=dataclasses.replace(
+                s.MonoSettings,
+                MonoCamera=dataclasses.replace(
+                    s.MonoSettings.MonoCamera, FeatureExtractorSettings=fes)))
+        rng2 = np.random.RandomState(3)
+        pts, descs = make_world(rng2)
+        sess = SlamSession(s, cam=CAM, image_width=int(W), image_height=int(H))
+        # synthetic features get random octaves in [0, 3)
+        for i in range(30):
+            t = i * 0.033
+            f = frame_features(pts, descs, pose_at(t), sess.N, rng2)
+            f = f._replace(octave=jnp.asarray(
+                np.random.RandomState(i).randint(0, 3, sess.N), jnp.int32))
+            sess.process_features(f, t, i)
+        tracked = sum(r.state == TrackingState.TRACKING for r in sess.results)
+        assert sess.initialized and tracked >= 10

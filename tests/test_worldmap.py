@@ -317,3 +317,34 @@ class TestBAWindow:
         assert int(m2.mp_refine_count[0]) == 1
         # fixed kf0 untouched
         np.testing.assert_allclose(np.array(m2.kf_pose.t[0]), np.array(m.kf_pose.t[0]))
+
+
+class TestSpanningTree:
+    def test_builds_max_weight_tree(self):
+        from mageslam_tpu.worldmap.spanning_tree import (
+            essential_graph_edges, spanning_tree, tree_valid)
+
+        K = 6
+        covis = np.zeros((K, K), np.int32)
+        # chain 0-1-2-3 with strong links, weak shortcut 0-3, node 4 linked to 2
+        for a, b, w in [(0, 1, 50), (1, 2, 40), (2, 3, 30), (0, 3, 5), (2, 4, 20)]:
+            covis[a, b] = covis[b, a] = w
+        valid = jnp.array([True] * 5 + [False])
+        parent = np.array(spanning_tree(jnp.asarray(covis), valid, 0))
+        assert parent[0] == -1
+        assert parent[1] == 0
+        assert parent[2] == 1
+        assert parent[3] == 2        # strong path, not the weak 0-3 shortcut
+        assert parent[4] == 2
+        assert parent[5] == -1       # invalid keyframe untouched
+        assert bool(tree_valid(jnp.asarray(parent), valid, 0))
+
+        # breaking the tree invalidates it
+        bad = jnp.asarray(parent).at[3].set(-1)
+        assert not bool(tree_valid(bad, valid, 0))
+
+        edges = np.array(essential_graph_edges(jnp.asarray(covis), valid,
+                                               jnp.asarray(parent), theta=45))
+        assert edges[0, 1] and edges[1, 0]    # tree + strong
+        assert edges[2, 3]                    # tree edge even though weak
+        assert not edges[0, 3]                # weak non-tree edge excluded

@@ -89,10 +89,10 @@ def main():
     sess._pipeline_depth = 8
 
     def one_frame(i, pipelined=True):
-        feats = detect_and_compute(images[i], sess.cam16, sess.fes, sess.N)
         if pipelined:
-            return sess.process_features_pipelined(feats, i * 0.033, i)
-        return sess.process_features(feats, i * 0.033, i)
+            # one compiled dispatch per frame: image in → flags out
+            return sess.process_frame_pipelined(images[i], i * 0.033, i)
+        return sess.process_frame(images[i], i * 0.033, i)
 
     i = 0
     while i < WARMUP_FRAMES:

@@ -21,8 +21,6 @@ import argparse
 import os
 import sys
 import time
-from typing import Iterator
-
 import numpy as np
 
 

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from .problem import BAProblem, BAState
-from .residuals import observation_residuals, tether_residuals
+from .residuals import observation_residuals
 from .schur import lm_iteration
 
 

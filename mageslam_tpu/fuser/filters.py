@@ -22,7 +22,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..geometry.se3 import Pose, hat, quat_to_rot, rot_to_quat
+from ..geometry.se3 import Pose, hat, quat_to_rot
 
 GRAVITY = 9.80665
 

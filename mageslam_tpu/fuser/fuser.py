@@ -25,7 +25,6 @@ import jax.numpy as jnp
 
 from ..geometry.se3 import Pose
 from .filters import (
-    EkfState,
     ekf_init,
     ekf_predict,
     ekf_update_gravity,

@@ -24,8 +24,6 @@ Everything is fixed-shape and batched over RANSAC hypotheses.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -9,7 +9,6 @@ XLA fusion simple.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax

@@ -13,7 +13,6 @@ import jax.numpy as jnp
 
 from ..analysis.clouds import reposition_points
 from ..analysis.voi import VoiSettings, calculate_volume_of_interest, make_voi_keyframes
-from ..geometry.se3 import Pose
 
 
 class FossilizedMap:

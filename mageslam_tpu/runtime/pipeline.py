@@ -48,7 +48,7 @@ from ..tracking.pose_estimation import (
 from ..tracking.track_local_map import track_local_map
 from ..tracking.bounding_depths import calculate_bounding_plane_depths
 from ..worldmap.ba_window import apply_ba_results, build_local_ba_window
-from ..worldmap.covisibility import covisibility_matrix, membership_matrix
+from ..worldmap.covisibility import covisibility_matrix
 from ..worldmap.map_state import MapState, empty_map, refresh_point_stats
 from ..worldmap.new_points import create_new_map_points
 from ..worldmap.operations import (
@@ -126,6 +126,7 @@ class SlamSession:
         self._mapping_core = self._build_mapping_core()
         self._reloc_core = self._build_reloc_core()
         self._step_core = self._build_step_core()
+        self._frame_step_core = self._build_frame_step_core()
         # pipelined-loop pending queue, depth = the reference's keyframe
         # backlog cap (MaxPendingKeyframes, MageSettings.h:255)
         self._pending: list = []
@@ -213,6 +214,19 @@ class SlamSession:
     def flush(self) -> FrameResult | None:
         """Resolve all in-flight pipelined frames; returns the last result."""
         return self._resolve_pending()
+
+    def process_stereo_frames(self, image0, image1, frame0_to_frame1: Pose,
+                              timestamp: float, frame_id: int) -> FrameResult:
+        """MAGESlam::ProcessStereoFrames (MageSlam.cpp:192): analyze both
+        grayscale frames and run the stereo path. Assumes both frames share
+        the session calibration (the reference rescales frame 2 to frame 1's
+        calibration before analysis, ImageAnalyzer.cpp:131-240)."""
+        f0 = detect_and_compute(jnp.asarray(image0, jnp.float32), self.cam16,
+                                self.fes, self.N)
+        f1 = detect_and_compute(jnp.asarray(image1, jnp.float32), self.cam16,
+                                self.fes, self.N)
+        return self.process_stereo_features(f0, f1, frame0_to_frame1,
+                                            timestamp, frame_id)
 
     def process_stereo_features(self, feats0: FrameFeatures, feats1: FrameFeatures,
                                 frame0_to_frame1: Pose, timestamp: float,
@@ -596,6 +610,67 @@ class SlamSession:
         if p is None:
             return Pose.identity(), np.bool_(False)
         return p, np.bool_(True)
+
+    def _build_frame_step_core(self):
+        """The whole frame in ONE dispatch: ORB frontend + tracking fast
+        path + bookkeeping (used by process_frame_pipelined). XLA overlaps
+        the image pipeline with the map-side gathers."""
+        fes = self.fes
+        cam16 = self.cam16
+        cam = self.cam
+        N = self.N
+        step = None  # resolved lazily to the jitted composite below
+
+        def frame_step(map_state, history, pose_history, image,
+                       timestamp, frame_id, fsk, fsr, prior, prior_valid):
+            feats = detect_and_compute(image, cam16, fes, N)
+            frame = TrackedFrame(
+                pose=Pose.identity(), cam=cam,
+                kp_xy=feats.und_xy, kp_octave=feats.octave, desc=feats.desc,
+                kp_valid=feats.valid,
+                assoc=jnp.full((N,), -1, jnp.int32),
+                timestamp=timestamp, frame_id=frame_id,
+            )
+            res = self._track_fn(map_state, history, frame, prior, prior_valid)
+            m2, h2, ph2, is_kf = self._post_fn(
+                map_state, history, pose_history, res.frame,
+                res.found_delta, res.predicted_delta, fsk, fsr)
+            gate = res.succeeded
+            pick = lambda new, old: jax.tree.map(
+                lambda a, c: jnp.where(jnp.reshape(gate, (1,) * a.ndim), a, c),
+                new, old)
+            flags = jnp.stack([
+                gate.astype(jnp.int32), res.tracked_count,
+                (is_kf & gate).astype(jnp.int32)])
+            return (pick(m2, map_state), pick(h2, history),
+                    pick(ph2, pose_history), res.frame, flags)
+
+        del step
+        return jax.jit(frame_step)
+
+    def process_frame_pipelined(self, image, timestamp: float,
+                                frame_id: int) -> FrameResult | None:
+        """Highest-throughput entry: one compiled dispatch per frame (image
+        in → flags out), outcomes resolved `MaxPendingKeyframes` frames late."""
+        if not self.initialized or self.lost_count >= \
+                self.settings.TrackLocalMapSettings.TrackingLostCountUntilReloc:
+            prev = self.flush()
+            res = self.process_frame(image, timestamp, frame_id)
+            return prev or res
+        prior, prior_valid = self._imu_prior()
+        self.map, self.history, self.pose_history, frame_out, flags = \
+            self._frame_step_core(
+                self.map, self.history, self.pose_history,
+                jnp.asarray(image, jnp.float32),
+                np.float32(timestamp), np.int32(frame_id),
+                np.int32(self.frames_since_keyframe + 1),
+                np.int32(min(self.frames_since_reloc + 1, 10_000)),
+                prior, prior_valid,
+            )
+        self._pending.append((frame_out, flags, frame_id))
+        if len(self._pending) > self._pipeline_depth:
+            return self._resolve_pending()
+        return None
 
     def _track(self, feats, timestamp, frame_id) -> FrameResult:
         frame = self._frame(feats, Pose.identity(), timestamp, frame_id)

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.se3 import Pose, interpolate_pose
-from ..ops.matching import dedup_by_target, radius_match
+from ..ops.matching import dedup_by_target
 from .frame_state import TrackedFrame, TrackingHistory
 
 _BIG = jnp.int32(1 << 20)
@@ -79,9 +79,9 @@ def estimate_pose_with_prior(
 
     Candidate set: every map point associated in any history frame (newest
     occurrence wins), refined ≥ min_refinement_count, projecting in front of
-    the camera. Each cascade stage only runs if the previous found too few
-    matches (matchCount < min or accuracy < ratio) — evaluated branchlessly
-    by selecting per-stage results.
+    the camera. The wider cascade stages execute (lax.cond) only when the
+    previous stage found too few matches (matchCount < min or accuracy <
+    ratio), mirroring the reference's early-outs.
     """
     H, N = history.assoc.shape
     P = mp_valid.shape[0]

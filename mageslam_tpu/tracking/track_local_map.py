@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from ..ba.pose_only import optimize_pose
 from ..geometry.se3 import Pose
 from ..ops.matching import dedup_by_target, radius_match
-from ..worldmap.map_state import MapState, predict_octave, refinement_confidence
+from ..worldmap.map_state import MapState, predict_octave
 from .frame_state import TrackedFrame
 
 

@@ -619,7 +619,6 @@ class SlamSession:
         cam16 = self.cam16
         cam = self.cam
         N = self.N
-        step = None  # resolved lazily to the jitted composite below
 
         def frame_step(map_state, history, pose_history, image,
                        timestamp, frame_id, fsk, fsr, prior, prior_valid):
@@ -645,7 +644,6 @@ class SlamSession:
             return (pick(m2, map_state), pick(h2, history),
                     pick(ph2, pose_history), res.frame, flags)
 
-        del step
         return jax.jit(frame_step)
 
     def process_frame_pipelined(self, image, timestamp: float,

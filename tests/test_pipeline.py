@@ -143,3 +143,63 @@ class TestMultiLevelPipeline:
             sess.process_features(f, t, i)
         tracked = sum(r.state == TrackingState.TRACKING for r in sess.results)
         assert sess.initialized and tracked >= 10
+
+
+class TestPipelinedImagePath:
+    def test_single_dispatch_frame_loop(self, rng):
+        """process_frame_pipelined on rendered images matches sync tracking."""
+        import sys
+        sys.path.insert(0, ".")
+        import bench
+
+        rng2 = np.random.RandomState(7)
+        pts, patches = bench.build_world(rng2)
+        cam = jnp.array([bench.FX, bench.FY, bench.CX, bench.CY], jnp.float32)
+        sess = SlamSession(cam=cam, image_width=bench.W, image_height=bench.H)
+        results = []
+        for i in range(40):
+            img = jnp.asarray(bench.render(pts, patches, i * 0.033))
+            r = sess.process_frame_pipelined(img, i * 0.033, i)
+            if r is not None:
+                results.append(r)
+        last = sess.flush()
+        if last is not None:
+            results.append(last)
+        tracked = sum(r.state == TrackingState.TRACKING for r in sess.results)
+        assert sess.initialized
+        assert tracked >= 25, tracked
+
+
+class TestLongRun:
+    def test_banks_stay_bounded_and_tracking_survives(self, rng):
+        """120 frames over a long revisiting trajectory: culling keeps the
+        keyframe bank bounded and tracking never permanently dies."""
+        rng2 = np.random.RandomState(9)
+        pts, descs = make_world(rng2, n=500)
+        sess = SlamSession(cam=CAM, image_width=int(W), image_height=int(H))
+
+        def center(t):
+            # out-and-back sweep: forces keyframes then revisits
+            return np.array([1.2 * np.sin(0.5 * t), 0.05 * np.sin(2 * t), 0.0],
+                            np.float32)
+
+        def pose(t):
+            c = center(t)
+            if t < 0.6:   # initial linear leg for parallax
+                c = np.array([0.9 * t, 0.0, 0.0], np.float32)
+            return Pose(jnp.eye(3), jnp.asarray(-c))
+
+        for i in range(120):
+            t = i * 0.033
+            sess.process_features(frame_features(pts, descs, pose(t), sess.N, rng2),
+                                  t, i)
+        states = [r.state for r in sess.results]
+        tracked = sum(s == TrackingState.TRACKING for s in states)
+        assert tracked >= 90, (tracked, states[-10:])
+        n_kf = int(jnp.sum(sess.map.kf_valid))
+        n_mp = int(jnp.sum(sess.map.mp_valid))
+        assert 2 <= n_kf <= 64, n_kf
+        assert n_mp <= 4000, n_mp
+        # trajectory stays sane
+        ids, mats = sess.fossilize(global_ba_steps=0)
+        assert np.isfinite(mats).all()

@@ -248,3 +248,34 @@ class TestConfigJson:
         assert loaded.KeyframeSettings.KeyframeDecisionMinFrameCount == 33
         assert loaded.Metadata.LoadedFromFile
         assert loaded.BundleAdjustSettings.HuberWidth == s.BundleAdjustSettings.HuberWidth
+
+
+class TestSensorLog:
+    def test_roundtrip_and_fuser_replay(self, rng, tmp_path):
+        from mageslam_tpu.fuser import Fuser, FuserMode, SampleType, SensorSample
+        from mageslam_tpu.fuser.filters import GRAVITY
+        from mageslam_tpu.io import SensorLogReader, SensorLogWriter
+
+        path = str(tmp_path / "imu.mgsl")
+        with SensorLogWriter(path) as w:
+            for i in range(50):
+                t = i * 0.01
+                w.write(SensorSample(SampleType.GYROMETER, t,
+                                     np.array([0.01, 0, 0], np.float32)))
+                w.write(SensorSample(SampleType.ACCELEROMETER, t,
+                                     np.array([0, 0, GRAVITY], np.float32)))
+
+        with SensorLogReader(path) as r:
+            samples = list(r.samples())
+        assert len(samples) == 100
+        assert samples[0].type == SampleType.GYROMETER
+        np.testing.assert_allclose(samples[1].data, [0, 0, GRAVITY])
+
+        # replay into the fuser: gravity converges
+        f = Fuser()
+        f.on_mage_initialized()
+        for s in samples:
+            f.add_sample(s)
+        for k in range(5):
+            f.process_frame(None, 0.1 + 0.1 * k)
+        assert f.mode != FuserMode.WAIT_FOR_MAGE_INIT

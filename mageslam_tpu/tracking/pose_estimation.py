@@ -74,6 +74,7 @@ def estimate_pose_with_prior(
     min_hamming_diff: int = 8,
     min_refinement_count: int = 0,
     use_mxu: bool = True,
+    candidate_budget: int = 1024,
 ) -> GuidedMatchResult:
     """The prior tracking path. `frame.pose` must already hold the prior.
 
@@ -119,12 +120,22 @@ def estimate_pose_with_prior(
     # would carry octaves; use 0s matched against target octave 0..L.
     q_oct = jnp.zeros((H * N,), jnp.int32)
 
-    # one (H·N, N) Hamming matrix shared by all three cascade stages — only
-    # the spatial mask differs per stage
+    # compact the deduped candidate set to a fixed budget (≤ one frame's
+    # features per history slot survive dedup, so the budget is generous),
+    # then ONE (budget, N) Hamming matrix shared by all three cascade stages —
+    # only the spatial mask differs per stage
     from ..ops.matching import BIG as _MBIG, _best_and_second, hamming_matrix
 
-    dmat = hamming_matrix(flat_desc, frame.desc, use_mxu=use_mxu)
-    dmat = jnp.where(cand[:, None] & frame.kp_valid[None, :], dmat, _MBIG)
+    Cb = candidate_budget
+    sel = jnp.argsort(jnp.logical_not(cand))[:Cb].astype(jnp.int32)
+    cand_c = cand[sel]
+    flat_desc_c = flat_desc[sel]
+    flat_xy_c = flat_xy[sel]
+    predicted_c = predicted[sel]
+    a_safe_c = a_safe[sel]
+
+    dmat = hamming_matrix(flat_desc_c, frame.desc, use_mxu=use_mxu)
+    dmat = jnp.where(cand_c[:, None] & frame.kp_valid[None, :], dmat, _MBIG)
 
     def stage(q_xy, radius):
         dx = jnp.abs(q_xy[:, None, 0] - frame.kp_xy[None, :, 0])
@@ -147,13 +158,13 @@ def estimate_pose_with_prior(
     # the wider stages only run when the narrow search came up short — in
     # steady tracking that is rare, so they live behind lax.cond (only the
     # taken branch executes on TPU), matching the reference's early-outs
-    idx1, n1 = stage(predicted, search_radius)
+    idx1, n1 = stage(predicted_c, search_radius)
 
     def wider(_):
-        idx2, n2 = stage(predicted, wider_search_radius)
+        idx2, n2 = stage(predicted_c, wider_search_radius)
 
         def widest(_):
-            return stage(flat_xy, extra_wider_search_radius)  # own positions
+            return stage(flat_xy_c, extra_wider_search_radius)  # own positions
 
         return jax.lax.cond(stage_ok(n2), lambda _: (idx2, n2), widest,
                             operand=None)
@@ -161,11 +172,12 @@ def estimate_pose_with_prior(
     idx, count = jax.lax.cond(stage_ok(n1), lambda _: (idx1, n1), wider,
                               operand=None)
 
-    # invert: per current-frame keypoint, which map point
+    # invert: per current-frame keypoint, which map point (indices are within
+    # the compacted candidate set)
     has = idx >= 0
     t_safe = jnp.where(has, idx, 0)
     assoc = jnp.full((N,), -1, jnp.int32).at[t_safe].max(
-        jnp.where(has, a_safe, -1)
+        jnp.where(has, a_safe_c, -1)
     )
     ok = count >= minimum_feature_matches
     assoc = jnp.where(ok, assoc, -1)

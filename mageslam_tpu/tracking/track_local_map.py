@@ -82,6 +82,7 @@ def track_local_map(
     min_tracked_features: int = 20,
     score_recent_points: bool = True,
     use_mxu: bool = True,            # MXU bit-matmul for the (P, N) Hamming matrix
+    candidate_budget: int = 2048,    # compaction cap on predicted candidates
 ) -> TrackLocalMapResult:
     P = state.mp_valid.shape[0]
     N = frame.kp_xy.shape[0]
@@ -159,16 +160,28 @@ def track_local_map(
     predicted = predicted + (is_predicted & is_recent).astype(jnp.int32)
 
     # ---- match candidates to unassociated keypoints ----
+    # compact the predicted candidates to a fixed budget before the Hamming
+    # matrix: the active predicted set is far smaller than the point bank, so
+    # a (budget, N) matrix replaces the (P, N) one (nearest candidates win
+    # slots on overflow)
     unassociated = frame.kp_valid & (frame.assoc < 0)
     proj_xy = jnp.stack([u, v], axis=-1)
-    m_idx, m_dist = radius_match(
-        state.mp_desc, proj_xy, jnp.clip(octv, 0, num_levels - 1), is_predicted,
+    C = candidate_budget
+    prio = jnp.where(is_predicted, dist_sq, jnp.inf)
+    cand_idx = jnp.argsort(prio)[:C].astype(jnp.int32)
+    cand_ok = is_predicted[cand_idx]
+    m_idx_c, m_dist_c = radius_match(
+        state.mp_desc[cand_idx], proj_xy[cand_idx],
+        jnp.clip(octv, 0, num_levels - 1)[cand_idx], cand_ok,
         frame.desc, frame.kp_xy, frame.kp_octave, unassociated,
         jnp.float32(match_search_radius), jnp.int32(max_hamming),
         jnp.int32(min_hamming_diff), use_mxu=use_mxu,
     )
-    m_idx = dedup_by_target(m_idx, m_dist)
-    matched = m_idx >= 0
+    m_idx_c = dedup_by_target(m_idx_c, m_dist_c)
+    matched_c = m_idx_c >= 0
+    # scatter results back to the full point domain
+    m_idx = jnp.full((P,), -1, jnp.int32).at[cand_idx].set(m_idx_c)
+    matched = jnp.zeros((P,), bool).at[cand_idx].max(matched_c)
     found = found + (matched & is_recent).astype(jnp.int32)
 
     # write new associations: keypoint m_idx[p] ← point p

@@ -11,6 +11,7 @@ Here the same problem classes become fixed-shape batched linear algebra:
                     extraction with behind-camera test, persistent lambda)
 """
 
+from .pose_graph import PoseGraphProblem, Sim3, optimize_pose_graph  # noqa: F401
 from .problem import BAProblem, BAState  # noqa: F401
 from .pose_only import optimize_pose  # noqa: F401
 from .step import step_bundle_adjust  # noqa: F401

@@ -105,10 +105,17 @@ def exp_so3(phi: jax.Array) -> jax.Array:
 
 
 def log_so3(R: jax.Array) -> jax.Array:
-    """Rotation matrix → rotation vector (principal branch, |phi| <= pi)."""
+    """Rotation matrix → rotation vector (principal branch, |phi| <= pi).
+
+    Autodiff-safe at the identity: arccos and the π-branch sqrt receive
+    sanitized inputs in the branches that `where` discards (the standard
+    double-where trick — NaN in an unselected branch still poisons gradients).
+    """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
+    near_zero = cos_theta > 1.0 - 1e-7
+    safe_cos = jnp.where(near_zero, 0.0, cos_theta)      # d/dx arccos finite
+    theta = jnp.where(near_zero, 0.0, jnp.arccos(safe_cos))
     w = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -120,13 +127,15 @@ def log_so3(R: jax.Array) -> jax.Array:
     sin_theta = jnp.sin(theta)
     small = theta < 1e-4
     # w = 2 sin(theta) * axis; phi = theta * axis
-    scale = jnp.where(small, 0.5 + theta * theta / 12.0, theta / (2.0 * sin_theta + _EPS))
+    safe_sin = jnp.where(small, 1.0, sin_theta)
+    scale = jnp.where(small, 0.5 + theta * theta / 12.0, theta / (2.0 * safe_sin))
     phi = w * scale[..., None]
     # Near theta = pi, w → 0; recover axis from diagonal of R.
     near_pi = theta > 3.0
     diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
-    axis_sq = jnp.maximum((diag - cos_theta[..., None]) / (1.0 - cos_theta[..., None] + _EPS), 0.0)
-    axis = jnp.sqrt(axis_sq)
+    axis_sq = jnp.maximum(
+        (diag - cos_theta[..., None]) / (1.0 - cos_theta[..., None] + _EPS), 0.0)
+    axis = jnp.sqrt(jnp.where(near_pi[..., None], axis_sq, 1.0))
     # fix signs using off-diagonal sums (sign of w components where nonzero)
     sign = jnp.where(w >= 0, 1.0, -1.0)
     phi_pi = axis * sign * theta[..., None]

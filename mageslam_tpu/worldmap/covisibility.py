@@ -38,10 +38,3 @@ def connected_keyframes(covis: jax.Array, kf_idx: jax.Array, theta: jax.Array) -
     (CovisibilityGraph::GetConnectedKeyframes; default θ from
     CovisibilitySettings.CovisThreshold)."""
     return covis[kf_idx] >= theta
-
-
-def covisibility_set(covis: jax.Array, seed: jax.Array, theta: jax.Array) -> jax.Array:
-    """(K,) bool — union of seed keyframes and everything covisible with any of
-    them at ≥ theta (used by loop closure / local window gathering)."""
-    reach = jnp.any(jnp.logical_and(covis >= theta, seed[:, None]), axis=0)
-    return seed | reach

@@ -105,22 +105,6 @@ def empty_map(max_keyframes: int, max_points: int, max_features: int) -> MapStat
     )
 
 
-def free_slots(valid: jax.Array, count: int) -> jax.Array:
-    """Indices of the first `count` free slots (static count). Slots beyond the
-    available free space return the last free slot repeated — callers must mask
-    writes with `allocation_ok`."""
-    order = jnp.argsort(valid.astype(jnp.int32), stable=True)  # free slots first
-    return order[:count].astype(jnp.int32)
-
-
-def allocation_ok(valid: jax.Array, want: jax.Array) -> jax.Array:
-    """(count,) bool — for each of `want` (bool mask of requested allocations,
-    ordered), whether a free slot genuinely exists."""
-    n_free = jnp.sum(jnp.logical_not(valid).astype(jnp.int32))
-    ranks = jnp.cumsum(want.astype(jnp.int32)) - 1          # allocation rank per request
-    return want & (ranks < n_free)
-
-
 def compute_dmin_dmax(distance: jax.Array, octave: jax.Array, num_levels: int,
                       scale_factor: float) -> tuple[jax.Array, jax.Array]:
     """Scale-invariance viewing range (Map/MappingMath.h:32-41): the half-octave

@@ -307,3 +307,79 @@ class TestTethers:
         delta_f = T2f.compose(T1f.inverse())
         np.testing.assert_allclose(delta_f.R, delta.R, atol=1e-3)
         np.testing.assert_allclose(delta_f.t, delta.t, atol=1e-2)
+
+
+class TestPoseGraph:
+    def test_sim3_roundtrip(self, rng):
+        from mageslam_tpu.ba.pose_graph import Sim3, sim3_exp, sim3_log
+
+        xi = jnp.array(rng.uniform(-0.2, 0.2, 7), dtype=jnp.float32)
+        g = sim3_exp(xi)
+        np.testing.assert_allclose(np.array(sim3_log(g)), np.array(xi), atol=1e-5)
+        # compose/inverse
+        h = sim3_exp(jnp.array(rng.uniform(-0.2, 0.2, 7), dtype=jnp.float32))
+        ident = g.compose(g.inverse())
+        np.testing.assert_allclose(np.array(ident.R), np.eye(3), atol=1e-5)
+        np.testing.assert_allclose(float(ident.s), 1.0, atol=1e-5)
+
+    def test_closes_drifted_loop(self, rng):
+        """Ring of poses with accumulated drift + one loop edge: the pose
+        graph distributes the error (the PoseGraphOptimizer workload)."""
+        from mageslam_tpu.ba.pose_graph import (
+            PoseGraphProblem, Sim3, optimize_pose_graph, sim3_log)
+
+        K = 8
+        # true poses: identity rotation, translations around a line
+        true_t = np.stack([np.linspace(0, 7, K), np.zeros(K), np.zeros(K)], 1)
+        # drifted estimates: each step adds a small bias
+        drift = np.cumsum(np.tile([0.05, 0.03, 0.0], (K, 1)) *
+                          (np.arange(K) > 0)[:, None], axis=0)
+        est_t = (true_t + drift).astype(np.float32)
+        verts = Sim3(jnp.ones(K), jnp.tile(jnp.eye(3)[None], (K, 1, 1)),
+                     jnp.asarray(est_t))
+
+        # odometry edges from TRUE relative transforms + a loop edge 0→K-1
+        ei, ej, meas_t = [], [], []
+        for a in range(K - 1):
+            ei.append(a); ej.append(a + 1)
+            meas_t.append(true_t[a + 1] - true_t[a])
+        ei.append(0); ej.append(K - 1)
+        meas_t.append(true_t[K - 1] - true_t[0])
+        E = len(ei)
+        meas = Sim3(jnp.ones(E), jnp.tile(jnp.eye(3)[None], (E, 1, 1)),
+                    jnp.asarray(np.array(meas_t, np.float32)))
+        problem = PoseGraphProblem(
+            vertices=verts,
+            fixed=jnp.asarray(np.arange(K) == 0),
+            valid=jnp.ones(K, bool),
+            edge_i=jnp.asarray(ei, dtype=jnp.int32),
+            edge_j=jnp.asarray(ej, dtype=jnp.int32),
+            edge_meas=meas,
+            edge_weight=jnp.ones(E),
+        )
+        out = optimize_pose_graph(problem, iterations=15)
+        err_before = np.abs(est_t - true_t).max()
+        err_after = np.abs(np.array(out.t) - true_t).max()
+        assert err_after < err_before * 0.05, (err_before, err_after)
+        np.testing.assert_allclose(np.array(out.s), 1.0, atol=1e-2)
+
+
+class TestIterateDriver:
+    def test_iterate_bundle_adjust_policy(self, rng):
+        """BundleAdjustTask driver semantics: shrinking Huber/outlier schedule
+        with MSE early-out (BundleAdjust.h:202-244)."""
+        from mageslam_tpu.ba.step import iterate_bundle_adjust
+
+        pts, K, poses, uvs = make_scene(rng, n_pts=80, n_cams=3)
+        problem = build_problem(pts, K, poses, uvs, fixed=(0, 1),
+                                noise_pts=0.02, rng=rng)
+        state = BAState.from_problem(problem)
+        state, mse, steps = iterate_bundle_adjust(
+            problem, state, huber_width=1.8, max_outlier_error=7.25,
+            huber_width_scale=0.95, max_outlier_error_scale=0.95,
+            min_mean_square_error=1e-4, num_steps=20, steps_per_run=2,
+        )
+        assert float(mse) < 1e-3
+        assert steps <= 20
+        # persisted lambda carried in the state (MappingWorker.cpp:272-286)
+        assert float(state.lam) > 0

@@ -527,41 +527,55 @@ class SlamSession:
                 kf_slot, near=bd.near, far=bd.far,
             )
 
-            # shared/size counts via gathers over the association matrix —
-            # the (K, P) membership scatter was the post stage's hot spot
+            # cheap gates first; the expensive association-wide shared/size
+            # counts (131k gathers) only run when they can change the outcome
+            # (rarely — most frames fail the frame-count/track-count gates)
             a_ok = (frame.assoc >= 0) & frame.kp_valid
-            P_cap = map_state.mp_valid.shape[0]
-            seen = jnp.zeros((P_cap,), bool).at[
-                jnp.where(a_ok, frame.assoc, 0)
-            ].max(a_ok)
-            ka = map_state.kf_assoc
-            ka_ok = (ka >= 0) & map_state.kf_kp_valid & map_state.kf_valid[:, None]
-            ka_safe = jnp.where(ka_ok, ka, 0)
-            ka_ok = ka_ok & map_state.mp_valid[ka_safe]
-            shared = jnp.sum((ka_ok & seen[ka_safe]).astype(jnp.int32), axis=1)
-            sizes = jnp.sum(ka_ok.astype(jnp.int32), axis=1)
-            safe = jnp.where(a_ok, frame.assoc, 0)
-            depths = jnp.where(
-                a_ok, frame.pose.transform(map_state.mp_pos[safe])[:, 2], jnp.inf
+            n_tracked = jnp.sum(a_ok.astype(jnp.int32))
+            cheap = (
+                (frames_since_reloc > ks.KeyframeDecisionMinFrameCountReloc)
+                & (frames_since_keyframe > jnp.int32(0))  # mapping_idle=True path
+                & (n_tracked > ks.KeyframeDecisionMinTrackingPointCount)
+                & (n_tracked < int(ks.KeyframeDecisionMaxTrackingPointMatches))
             )
-            min_depth = jnp.min(depths)
-            is_kf = is_new_keyframe(
-                frame,
-                KeyframeDecisionInput(
-                    frames_since_keyframe=frames_since_keyframe,
-                    frames_since_reloc=frames_since_reloc,
-                    mapping_idle=jnp.asarray(True),
-                    min_point_distance=jnp.where(jnp.isfinite(min_depth), min_depth, 0.0),
-                ),
-                map_state.keyframe_centers(), map_state.kf_valid, shared, sizes,
-                width, height,
-                min_frame_count=ks.KeyframeDecisionMinFrameCount,
-                min_frame_count_reloc=ks.KeyframeDecisionMinFrameCountReloc,
-                min_tracking_points=ks.KeyframeDecisionMinTrackingPointCount,
-                max_tracking_matches=int(ks.KeyframeDecisionMaxTrackingPointMatches),
-                max_overlap=ks.KeyframeDecisionMaxTrackingPointOverlap,
-                min_move_ratio=ks.MinFrameMoveToMinDepthRatio,
-            )
+
+            def heavy(_):
+                P_cap = map_state.mp_valid.shape[0]
+                seen = jnp.zeros((P_cap,), bool).at[
+                    jnp.where(a_ok, frame.assoc, 0)
+                ].max(a_ok)
+                ka = map_state.kf_assoc
+                ka_ok = (ka >= 0) & map_state.kf_kp_valid & map_state.kf_valid[:, None]
+                ka_safe = jnp.where(ka_ok, ka, 0)
+                ka_ok2 = ka_ok & map_state.mp_valid[ka_safe]
+                shared = jnp.sum((ka_ok2 & seen[ka_safe]).astype(jnp.int32), axis=1)
+                sizes = jnp.sum(ka_ok2.astype(jnp.int32), axis=1)
+                safe = jnp.where(a_ok, frame.assoc, 0)
+                depths = jnp.where(
+                    a_ok, frame.pose.transform(map_state.mp_pos[safe])[:, 2], jnp.inf
+                )
+                min_depth = jnp.min(depths)
+                return is_new_keyframe(
+                    frame,
+                    KeyframeDecisionInput(
+                        frames_since_keyframe=frames_since_keyframe,
+                        frames_since_reloc=frames_since_reloc,
+                        mapping_idle=jnp.asarray(True),
+                        min_point_distance=jnp.where(
+                            jnp.isfinite(min_depth), min_depth, 0.0),
+                    ),
+                    map_state.keyframe_centers(), map_state.kf_valid, shared, sizes,
+                    width, height,
+                    min_frame_count=ks.KeyframeDecisionMinFrameCount,
+                    min_frame_count_reloc=ks.KeyframeDecisionMinFrameCountReloc,
+                    min_tracking_points=ks.KeyframeDecisionMinTrackingPointCount,
+                    max_tracking_matches=int(ks.KeyframeDecisionMaxTrackingPointMatches),
+                    max_overlap=ks.KeyframeDecisionMaxTrackingPointOverlap,
+                    min_move_ratio=ks.MinFrameMoveToMinDepthRatio,
+                )
+
+            is_kf = jax.lax.cond(cheap, heavy, lambda _: jnp.asarray(False),
+                                 operand=None)
             return map_state, history, pose_history, is_kf
 
         self._post_fn = post

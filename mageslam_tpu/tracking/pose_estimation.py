@@ -127,7 +127,8 @@ def estimate_pose_with_prior(
     from ..ops.matching import BIG as _MBIG, _best_and_second, hamming_matrix
 
     Cb = candidate_budget
-    sel = jnp.argsort(jnp.logical_not(cand))[:Cb].astype(jnp.int32)
+    _, sel = jax.lax.top_k(cand.astype(jnp.float32), Cb)
+    sel = sel.astype(jnp.int32)
     cand_c = cand[sel]
     flat_desc_c = flat_desc[sel]
     flat_xy_c = flat_xy[sel]

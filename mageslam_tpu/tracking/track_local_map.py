@@ -167,8 +167,10 @@ def track_local_map(
     unassociated = frame.kp_valid & (frame.assoc < 0)
     proj_xy = jnp.stack([u, v], axis=-1)
     C = candidate_budget
-    prio = jnp.where(is_predicted, dist_sq, jnp.inf)
-    cand_idx = jnp.argsort(prio)[:C].astype(jnp.int32)
+    # top_k, not argsort: full sorts are slow on TPU (bitonic over P lanes)
+    prio = jnp.where(is_predicted, -dist_sq, -jnp.inf)
+    _, cand_idx = jax.lax.top_k(prio, C)
+    cand_idx = cand_idx.astype(jnp.int32)
     cand_ok = is_predicted[cand_idx]
     m_idx_c, m_dist_c = radius_match(
         state.mp_desc[cand_idx], proj_xy[cand_idx],

@@ -449,43 +449,49 @@ class SlamSession:
 
         def core(map_state: MapState, history: TrackingHistory,
                  frame: TrackedFrame, prior_override: Pose, prior_valid):
-            mm = estimate_next_pose_from_history(history, frame.timestamp)
+            # jax.named_scope = the SCOPE_TIMER hook points (Utils/Logging.h:6,
+            # stripped in the reference's public release; here they surface in
+            # jax.profiler traces when one is attached)
+            with jax.named_scope("PoseEstimator.MotionModelPrior"):
+                mm = estimate_next_pose_from_history(history, frame.timestamp)
             prior = Pose(
                 jnp.where(prior_valid, prior_override.R, mm.R),
                 jnp.where(prior_valid, prior_override.t, mm.t),
             )
             frame = frame._replace(pose=prior)
-            gm = estimate_pose_with_prior(
-                frame, history, map_state.mp_pos, map_state.mp_valid,
-                map_state.mp_refine_count,
-                minimum_feature_matches=ps.FeatureMatchThreshold,
-                search_radius=ps.SearchRadius,
-                wider_search_radius=ps.WiderSearchRadius,
-                extra_wider_search_radius=ps.ExtraWiderSearchRadius,
-                small_match_ratio=ps.FeatureSmallMatchRatioThreshold,
-                max_hamming=ps.OrbMatcherSettings.MaxHammingDistance,
-                min_hamming_diff=ps.OrbMatcherSettings.MinHammingDifference,
-                min_refinement_count=ps.MinMapPointRefinementCount,
-            )
+            with jax.named_scope("PoseEstimator.GuidedMatchCascade"):
+                gm = estimate_pose_with_prior(
+                    frame, history, map_state.mp_pos, map_state.mp_valid,
+                    map_state.mp_refine_count,
+                    minimum_feature_matches=ps.FeatureMatchThreshold,
+                    search_radius=ps.SearchRadius,
+                    wider_search_radius=ps.WiderSearchRadius,
+                    extra_wider_search_radius=ps.ExtraWiderSearchRadius,
+                    small_match_ratio=ps.FeatureSmallMatchRatioThreshold,
+                    max_hamming=ps.OrbMatcherSettings.MaxHammingDistance,
+                    min_hamming_diff=ps.OrbMatcherSettings.MinHammingDifference,
+                    min_refinement_count=ps.MinMapPointRefinementCount,
+                )
             frame = frame._replace(assoc=gm.assoc)
-            res = track_local_map(
-                frame, map_state, map_state.mp_valid,
-                num_levels=fes.NumLevels, pyramid_scale=fes.ScaleFactor,
-                image_width=width, image_height=height,
-                image_border=fes.PatchSize / 2.0,
-                min_degrees_view_angle=ts.MinDegreesBetweenCurrentViewAndMapPointView,
-                match_search_radius=ts.MatchSearchRadius,
-                max_hamming=ts.OrbMatcherSettings.MaxHammingDistance,
-                min_hamming_diff=ts.OrbMatcherSettings.MinHammingDifference,
-                min_refinement_count=ts.MinMapPointRefinementCount,
-                max_outlier_error=ts.MaxOutlierError,
-                max_outlier_error_pose_estimation=ts.MaxOutlierErrorPoseEstimation,
-                min_tracked_features=ts.MinTrackedFeatureCount,
-                stage1_iters=ts.InitialPoseEstimateBundleAdjustmentSteps,
-                stage2_iters=ts.BundleAdjustmentG2OSteps,
-                stage1_huber=ts.InitialPoseEstimateBundleAdjustmentHuberWidth,
-                stage2_huber=ts.BundleAdjustmentHuberWidth,
-            )
+            with jax.named_scope("TrackLocalMap.RunTrackLocalMap"):
+                res = track_local_map(
+                    frame, map_state, map_state.mp_valid,
+                    num_levels=fes.NumLevels, pyramid_scale=fes.ScaleFactor,
+                    image_width=width, image_height=height,
+                    image_border=fes.PatchSize / 2.0,
+                    min_degrees_view_angle=ts.MinDegreesBetweenCurrentViewAndMapPointView,
+                    match_search_radius=ts.MatchSearchRadius,
+                    max_hamming=ts.OrbMatcherSettings.MaxHammingDistance,
+                    min_hamming_diff=ts.OrbMatcherSettings.MinHammingDifference,
+                    min_refinement_count=ts.MinMapPointRefinementCount,
+                    max_outlier_error=ts.MaxOutlierError,
+                    max_outlier_error_pose_estimation=ts.MaxOutlierErrorPoseEstimation,
+                    min_tracked_features=ts.MinTrackedFeatureCount,
+                    stage1_iters=ts.InitialPoseEstimateBundleAdjustmentSteps,
+                    stage2_iters=ts.BundleAdjustmentG2OSteps,
+                    stage1_huber=ts.InitialPoseEstimateBundleAdjustmentHuberWidth,
+                    stage2_huber=ts.BundleAdjustmentHuberWidth,
+                )
             success = gm.succeeded & res.succeeded
             return res._replace(succeeded=success)
 

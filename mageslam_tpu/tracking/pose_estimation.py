@@ -126,7 +126,7 @@ def estimate_pose_with_prior(
     # only the spatial mask differs per stage
     from ..ops.matching import BIG as _MBIG, _best_and_second, hamming_matrix
 
-    Cb = candidate_budget
+    Cb = min(candidate_budget, cand.shape[0])
     _, sel = jax.lax.top_k(cand.astype(jnp.float32), Cb)
     sel = sel.astype(jnp.int32)
     cand_c = cand[sel]

@@ -166,7 +166,7 @@ def track_local_map(
     # slots on overflow)
     unassociated = frame.kp_valid & (frame.assoc < 0)
     proj_xy = jnp.stack([u, v], axis=-1)
-    C = candidate_budget
+    C = min(candidate_budget, P)
     # top_k, not argsort: full sorts are slow on TPU (bitonic over P lanes)
     prio = jnp.where(is_predicted, -dist_sq, -jnp.inf)
     _, cand_idx = jax.lax.top_k(prio, C)

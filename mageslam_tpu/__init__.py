@@ -20,3 +20,5 @@ import jax as _jax
 _jax.config.update("jax_default_matmul_precision", "float32")
 
 from .config import MageSlamSettings, golden_path_settings, load_settings  # noqa: F401
+
+from .runtime import FrameResult, SlamSession, TrackingState  # noqa: E402,F401

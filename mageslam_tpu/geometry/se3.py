@@ -228,6 +228,26 @@ def rot_to_quat(R: jax.Array) -> jax.Array:
     return q * jnp.where(q[..., :1] >= 0, 1.0, -1.0)
 
 
+def quat_mul(q0: jax.Array, q1: jax.Array) -> jax.Array:
+    """Hamilton product of quaternions (w, x, y, z), broadcasting."""
+    w0, x0, y0, z0 = q0[..., 0], q0[..., 1], q0[..., 2], q0[..., 3]
+    w1, x1, y1, z1 = q1[..., 0], q1[..., 1], q1[..., 2], q1[..., 3]
+    return jnp.stack(
+        [
+            w0 * w1 - x0 * x1 - y0 * y1 - z0 * z1,
+            w0 * x1 + x0 * w1 + y0 * z1 - z0 * y1,
+            w0 * y1 - x0 * z1 + y0 * w1 + z0 * x1,
+            w0 * z1 + x0 * y1 - y0 * x1 + z0 * w1,
+        ],
+        axis=-1,
+    )
+
+
+def quat_conj(q: jax.Array) -> jax.Array:
+    """Conjugate (= inverse for unit quaternions) of (w, x, y, z)."""
+    return q * jnp.array([1.0, -1.0, -1.0, -1.0], q.dtype)
+
+
 def slerp(q0: jax.Array, q1: jax.Array, alpha: jax.Array) -> jax.Array:
     """Spherical linear interpolation between unit quaternions (w,x,y,z)."""
     dot = jnp.sum(q0 * q1, axis=-1, keepdims=True)

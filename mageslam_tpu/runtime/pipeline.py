@@ -110,7 +110,9 @@ class SlamSession:
         self.N = b.MaxFeatures
         self.map = empty_map(b.MaxKeyframes, b.MaxMapPoints, self.N)
         self.history = TrackingHistory.empty(b.TrackingHistoryLength, self.N)
-        self.pose_history = PoseHistory.empty(4096)
+        self.pose_history = PoseHistory.empty(
+            4096, connections=self.settings.PoseHistorySettings
+            .InitalInterpolationConnections)
         self.key = jax.random.PRNGKey(seed)
 
         self.bow = empty_index(b.MaxKeyframes,
@@ -410,9 +412,9 @@ class SlamSession:
                          self.prev_meta[0], assoc1)
         f2 = self._frame(feats, res.pose2, timestamp, frame_id, assoc2)
         self.history = self.history.advance(f1).advance(f2)
-        self.pose_history = self.pose_history.add(
+        self.pose_history = self.pose_history.add_single(
             self.prev_meta[0], Pose.identity(), Pose.identity(), 0)
-        self.pose_history = self.pose_history.add(
+        self.pose_history = self.pose_history.add_single(
             frame_id, res.pose2,
             Pose(self.map.kf_pose.R[1], self.map.kf_pose.t[1]), 1)
         # train the place-recognition vocabulary from the init frames'
@@ -520,7 +522,14 @@ class SlamSession:
                 (map_state.keyframe_centers() - frame.pose.center()[None]) ** 2,
                 axis=-1,
             )
-            kf_slot = jnp.argmin(jnp.where(map_state.kf_valid, d2, jnp.inf)).astype(jnp.int32)
+            # connect to the K nearest keyframes (InitalInterpolationConnections;
+            # the reference ranks by covisibility — distance rank keeps the
+            # per-frame path free of the full association sweep, PARITY.md)
+            neg, slots = jax.lax.top_k(
+                -jnp.where(map_state.kf_valid, d2, jnp.inf),
+                pose_history.connections)
+            conn_ok = jnp.isfinite(neg)
+            slots = slots.astype(jnp.int32)
             bd = calculate_bounding_plane_depths(
                 frame, map_state, width, height,
                 roi_min_x=bds.RegionOfInterestMinX, roi_min_y=bds.RegionOfInterestMinY,
@@ -529,8 +538,8 @@ class SlamSession:
             )
             pose_history = pose_history.add(
                 frame.frame_id, frame.pose,
-                Pose(map_state.kf_pose.R[kf_slot], map_state.kf_pose.t[kf_slot]),
-                kf_slot, near=bd.near, far=bd.far,
+                Pose(map_state.kf_pose.R[slots], map_state.kf_pose.t[slots]),
+                slots, conn_ok, near=bd.near, far=bd.far,
             )
 
             # cheap gates first; the expensive association-wide shared/size

@@ -11,6 +11,9 @@ keyframe decision fires — exactly the work MAGE-SLAM does per frame.
 Fully end-to-end: the frontend's features from the rendered images drive
 initialization and tracking (no side-channel ground truth). Tracking
 correctness is enforced: untracked frames zero out the reported value.
+Frames run through the chunked stream path (16 frames per compiled
+dispatch, a device-side lax.scan of the same fused per-frame step — bit-
+identical to the per-frame path, tests/test_pipeline.py TestChunkedFrameLoop).
 
 Prints ONE JSON line. vs_baseline is against the reference's 30 fps design
 target (TARGET_FRAME_RATE, Core/MAGESLAM/Source/MAGESlam.cpp:35-38) — the
@@ -75,12 +78,15 @@ def render(pts, patches, t):
 def main():
     import jax
     import jax.numpy as jnp
-    from mageslam_tpu.ops.frontend import FrameFeatures, detect_and_compute
     from mageslam_tpu.runtime import SlamSession, TrackingState
 
     rng = np.random.RandomState(7)
     pts, patches = build_world(rng)
-    images = [jnp.asarray(render(pts, patches, i * 0.033)) for i in range(N_FRAMES)]
+    bank = jax.device_put(jnp.asarray(np.stack(
+        [render(pts, patches, i * 0.033) for i in range(N_FRAMES)])))
+    jax.block_until_ready(bank)
+    ts_all = [i * 0.033 for i in range(N_FRAMES)]
+    ids_all = list(range(N_FRAMES))
     cam = jnp.array([FX, FY, CX, CY], jnp.float32)
     sess = SlamSession(cam=cam, image_width=W, image_height=H)
     # deepen the flag-readback pipeline beyond the keyframe backlog default:
@@ -90,43 +96,38 @@ def main():
     # reference's MaxPendingKeyframes=4 depth
     sess._pipeline_depth = 32
 
-    def one_frame(i, pipelined=True):
-        if pipelined:
-            # one compiled dispatch per frame: image in → flags out
-            return sess.process_frame_pipelined(images[i], i * 0.033, i)
-        return sess.process_frame(images[i], i * 0.033, i)
+    CHUNK = 16
+    for i in range(WARMUP_FRAMES - 5):
+        sess.process_frame(bank[i], i * 0.033, i)
+    # compile the fused per-frame step and the chunked stream core before
+    # the timed window
+    for i in range(WARMUP_FRAMES - 5, WARMUP_FRAMES):
+        sess.process_frame_pipelined(bank[i], i * 0.033, i)
+    sess.flush()
+    sess.process_frame_stream(bank, ts_all, ids_all, start=WARMUP_FRAMES,
+                              stop=WARMUP_FRAMES + CHUNK, chunk=CHUNK)
 
-    i = 0
-    while i < WARMUP_FRAMES:
-        # last warmup frames run pipelined so the fused step compiles
-        # before the timed window
-        one_frame(i, pipelined=(i >= WARMUP_FRAMES - 5))
-        i += 1
-
+    # timed: the chunked stream (CHUNK frames per compiled dispatch — the
+    # per-frame work is identical to the per-frame path; see
+    # tests/test_pipeline.py::TestChunkedFrameLoop for the equivalence).
+    # Segments of 3 chunks; median over segments rejects remote-relay stalls
+    # without hiding real per-frame cost.
+    i0 = WARMUP_FRAMES + CHUNK
+    seg_len = 3 * CHUNK
     tracked = timed = 0
-    frame_times = []
-    while i < N_FRAMES:
+    seg_times = []
+    base = i0
+    while base + seg_len <= N_FRAMES:
         t0 = time.perf_counter()
-        r = one_frame(i)
-        if r is not None:
-            tracked += r.state == TrackingState.TRACKING
-            timed += 1
-        frame_times.append(time.perf_counter() - t0)
-        i += 1
-    t0 = time.perf_counter()
-    last = sess.flush()
-    frame_times[-1] += time.perf_counter() - t0
-    if last is not None:
-        tracked += last.state == TrackingState.TRACKING
-        timed += 1
+        res = sess.process_frame_stream(bank, ts_all, ids_all, start=base,
+                                        stop=base + seg_len, chunk=CHUNK)
+        res += sess.flush_chunks()
+        seg_times.append(time.perf_counter() - t0)
+        tracked += sum(r.state == TrackingState.TRACKING for r in res)
+        timed += seg_len
+        base += seg_len
 
-    # windowed medians: each window spans one pipeline-resolve cycle so the
-    # batched device sync is counted exactly once per window; the median over
-    # windows rejects remote-relay stalls without hiding real per-frame cost
-    wnd = sess._pipeline_depth + 1
-    n_w = len(frame_times) // wnd
-    windows = np.asarray(frame_times[: n_w * wnd]).reshape(n_w, wnd).sum(1)
-    med = float(np.median(windows)) / wnd
+    med = float(np.median(seg_times)) / seg_len
     fps = 1.0 / med if med > 0 else 0.0
     value = fps * (tracked / max(timed, 1))
     print(json.dumps({

@@ -133,6 +133,13 @@ class SlamSession:
         # backlog cap (MaxPendingKeyframes, MageSettings.h:255)
         self._pending: list = []
         self._pipeline_depth = self.settings.MappingSettings.MaxPendingKeyframes
+        self._chunk_cores: dict[int, object] = {}  # chunk size -> jitted core
+        self._pending_chunks: list = []
+        self._chunk_slicer = None
+        self._stream_cores: dict[int, object] = {}
+        # chunks in flight before resolving (keyframe/mapping lag bound;
+        # >1 hides the dispatch+fetch round trips behind device compute)
+        self._chunk_pipeline_depth = 2
 
         self.initialized = False
         self.lost_count = 0
@@ -675,6 +682,260 @@ class SlamSession:
 
         return jax.jit(frame_step)
 
+    def _build_chunk_core(self, chunk: int):
+        """CHUNK frames in ONE dispatch: a device-side lax.scan of the fused
+        per-frame step (frontend + tracking + bookkeeping), threading the
+        SLAM state frame-to-frame exactly like the host loop does. Dispatch
+        overhead — the dominant cost on remote/relay-attached TPUs, where
+        each launch costs ~1-4 ms against ~1 ms of device compute — is paid
+        once per CHUNK frames instead of once per frame.
+
+        Semantics match process_frame_pipelined: mapping for a keyframe that
+        fires inside a chunk runs after the chunk resolves (the reference
+        also queues keyframes behind tracking — MaxPendingKeyframes,
+        MageSettings.h:255 — so tracking continues on the pre-keyframe map
+        for a few frames either way). frames_since_keyframe resets at the
+        keyframe DECISION on-device (the reference's NewKeyFrameDecision
+        counter semantics, Tracking/NewKeyFrameDecision.cpp:141)."""
+        fes = self.fes
+        cam16 = self.cam16
+        cam = self.cam
+        N = self.N
+
+        def one(map_state, history, pose_history, fsk, fsr,
+                image, timestamp, frame_id):
+            feats = detect_and_compute(image, cam16, fes, N)
+            frame = TrackedFrame(
+                pose=Pose.identity(), cam=cam,
+                kp_xy=feats.und_xy, kp_octave=feats.octave, desc=feats.desc,
+                kp_valid=feats.valid,
+                assoc=jnp.full((N,), -1, jnp.int32),
+                timestamp=timestamp, frame_id=frame_id,
+            )
+            res = self._track_fn(map_state, history, frame,
+                                 Pose.identity(), jnp.asarray(False))
+            m2, h2, ph2, is_kf = self._post_fn(
+                map_state, history, pose_history, res.frame,
+                res.found_delta, res.predicted_delta, fsk, fsr)
+            gate = res.succeeded
+            pick = lambda new, old: jax.tree.map(
+                lambda a, c: jnp.where(jnp.reshape(gate, (1,) * a.ndim), a, c),
+                new, old)
+            flags = jnp.stack([
+                gate.astype(jnp.int32), res.tracked_count,
+                (is_kf & gate).astype(jnp.int32)])
+            return (pick(m2, map_state), pick(h2, history),
+                    pick(ph2, pose_history), res.frame, flags)
+
+        def chunk_step(map_state, history, pose_history, image_seq,
+                       timestamps, frame_ids, fsk0, fsr0):
+            # image_seq is a TUPLE of C images: stacking happens inside the
+            # compiled program, so the host never issues eager device ops
+            # (every eager op through a relay-attached TPU is an RPC round
+            # trip — CLAUDE.md; args ride the single dispatch instead)
+            images = jnp.stack(image_seq)
+
+            def body(carry, xs):
+                m, h, ph, fsk, fsr = carry
+                image, ts, fid = xs
+                m, h, ph, frame_out, flags = one(
+                    m, h, ph, fsk + 1, jnp.minimum(fsr + 1, 10_000),
+                    image, ts, fid)
+                is_kf = flags[2] > 0
+                fsk = jnp.where(is_kf, 0, fsk + 1)
+                return (m, h, ph, fsk, fsr + 1), (frame_out, flags)
+
+            (m, h, ph, _, _), (frames_out, flags) = jax.lax.scan(
+                body, (map_state, history, pose_history, fsk0, fsr0),
+                (images, timestamps, frame_ids))
+            # single (C, 15) summary buffer: flags + pose per frame — ONE
+            # device→host fetch per chunk (per-buffer fetches are one relay
+            # round trip EACH through a remote TPU attachment)
+            C = images.shape[0]
+            summary = jnp.concatenate([
+                flags.astype(jnp.float32),
+                frames_out.pose.R.reshape(C, 9),
+                frames_out.pose.t.reshape(C, 3),
+            ], axis=1)
+            return m, h, ph, frames_out, summary
+
+        return jax.jit(chunk_step)
+
+    def _build_stream_core(self, chunk: int):
+        """Chunk core over a device-resident image BANK: per-chunk arguments
+        are just (state, bank, start) — a handful of buffer handles and one
+        scalar — so dispatch cost through a remote TPU attachment is minimal
+        (a tuple-of-images signature serializes C buffer handles per call)."""
+        fes = self.fes
+        cam16 = self.cam16
+        cam = self.cam
+        N = self.N
+
+        def stream_step(map_state, history, pose_history, bank,
+                        ts_bank, fid_bank, start, fsk0, fsr0):
+            def body(carry, i):
+                m, h, ph, fsk, fsr = carry
+                image = jax.lax.dynamic_index_in_dim(
+                    bank, start + i, 0, keepdims=False)
+                ts = jax.lax.dynamic_index_in_dim(
+                    ts_bank, start + i, 0, keepdims=False)
+                fid = jax.lax.dynamic_index_in_dim(
+                    fid_bank, start + i, 0, keepdims=False)
+                feats = detect_and_compute(image, cam16, fes, N)
+                frame = TrackedFrame(
+                    pose=Pose.identity(), cam=cam,
+                    kp_xy=feats.und_xy, kp_octave=feats.octave,
+                    desc=feats.desc, kp_valid=feats.valid,
+                    assoc=jnp.full((N,), -1, jnp.int32),
+                    timestamp=ts, frame_id=fid,
+                )
+                res = self._track_fn(m, h, frame, Pose.identity(),
+                                     jnp.asarray(False))
+                m2, h2, ph2, is_kf = self._post_fn(
+                    m, h, ph, res.frame, res.found_delta, res.predicted_delta,
+                    fsk + 1, jnp.minimum(fsr + 1, 10_000))
+                gate = res.succeeded
+                pick = lambda new, old: jax.tree.map(
+                    lambda a, c: jnp.where(
+                        jnp.reshape(gate, (1,) * a.ndim), a, c), new, old)
+                flags = jnp.stack([
+                    gate.astype(jnp.int32), res.tracked_count,
+                    (is_kf & gate).astype(jnp.int32)])
+                fsk = jnp.where(is_kf & gate, 0, fsk + 1)
+                return ((pick(m2, m), pick(h2, h), pick(ph2, ph),
+                         fsk, fsr + 1), (res.frame, flags))
+
+            (m, h, ph, _, _), (frames_out, flags) = jax.lax.scan(
+                body, (map_state, history, pose_history, fsk0, fsr0),
+                jnp.arange(chunk))
+            summary = jnp.concatenate([
+                flags.astype(jnp.float32),
+                frames_out.pose.R.reshape(chunk, 9),
+                frames_out.pose.t.reshape(chunk, 3),
+            ], axis=1)
+            return m, h, ph, frames_out, summary
+
+        return jax.jit(stream_step)
+
+    def process_frame_stream(self, image_bank, timestamps, frame_ids,
+                             start: int = 0, stop: int | None = None,
+                             chunk: int = 16) -> list[FrameResult]:
+        """Maximum-throughput stream entry: the image bank lives on device
+        (upload it once with jax.device_put, or pass frames already there)
+        and each compiled dispatch consumes `chunk` consecutive frames.
+        The compiled core is keyed on the FULL bank shape — pass the whole
+        bank and select the region with start/stop so one compilation serves
+        every call. Falls back to the per-frame path while uninitialized/
+        lost and for the stream tail. Returns results for frames
+        [start, stop) in order."""
+        T = len(frame_ids)
+        stop = T if stop is None else stop
+        bank = image_bank if isinstance(image_bank, jax.Array) \
+            else jnp.stack([jnp.asarray(im, jnp.float32) for im in image_bank])
+        ts_bank = jnp.asarray(np.asarray(timestamps, np.float32))
+        fid_bank = jnp.asarray(np.asarray(frame_ids, np.int32))
+        core = self._stream_cores.get(chunk)
+        if core is None:
+            core = self._stream_cores[chunk] = self._build_stream_core(chunk)
+
+        results: list[FrameResult] = []
+        base = start
+        lost_limit = \
+            self.settings.TrackLocalMapSettings.TrackingLostCountUntilReloc
+        while base < stop:
+            if (not self.initialized or self.lost_count >= lost_limit
+                    or base + chunk > stop):
+                results.extend(self.flush_chunks())
+                r = self.process_frame(bank[base], float(timestamps[base]),
+                                       int(frame_ids[base]))
+                results.append(r)
+                base += 1
+                continue
+            out = core(
+                self.map, self.history, self.pose_history, bank,
+                ts_bank, fid_bank, np.int32(base),
+                np.int32(self.frames_since_keyframe),
+                np.int32(min(self.frames_since_reloc, 10_000)))
+            self.map, self.history, self.pose_history, frames_out, summary = out
+            self._pending_chunks.append(
+                (frames_out, summary, list(frame_ids[base:base + chunk])))
+            while len(self._pending_chunks) > self._chunk_pipeline_depth:
+                results.extend(self._resolve_chunk())
+            base += chunk
+        results.extend(self.flush_chunks())
+        return results
+
+    def process_frames_chunked(self, images, timestamps, frame_ids,
+                               pipelined: bool = True) -> list[FrameResult]:
+        """Highest-throughput entry: C frames per compiled dispatch (images
+        in → per-frame flags out). With pipelined=True (default) the chunk's
+        outcomes resolve when the NEXT chunk is dispatched, hiding the
+        device→host flag latency behind the next chunk's compute; call
+        `flush_chunks()` at end of stream. Only valid while initialized and
+        tracking; callers fall back to process_frame during
+        init/relocalization (the console app does)."""
+        if not self.initialized or self.lost_count >= \
+                self.settings.TrackLocalMapSettings.TrackingLostCountUntilReloc:
+            results = self.flush_chunks()
+            for im, ts, fid in zip(images, timestamps, frame_ids):
+                results.append(self.process_frame(im, float(ts), int(fid)))
+            return results
+        C = len(images)
+        core = self._chunk_cores.get(C)
+        if core is None:
+            core = self._chunk_cores[C] = self._build_chunk_core(C)
+        self.map, self.history, self.pose_history, frames_out, flags = core(
+            self.map, self.history, self.pose_history,
+            tuple(images),
+            np.asarray(timestamps, np.float32),
+            np.asarray(frame_ids, np.int32),
+            np.int32(self.frames_since_keyframe),
+            np.int32(min(self.frames_since_reloc, 10_000)))
+        self._pending_chunks.append((frames_out, flags, list(frame_ids)))
+        results: list[FrameResult] = []
+        while len(self._pending_chunks) > (1 if pipelined else 0):
+            results.extend(self._resolve_chunk())
+        return results
+
+    def flush_chunks(self) -> list[FrameResult]:
+        """Resolve all in-flight chunks; returns their frame results."""
+        results: list[FrameResult] = []
+        while self._pending_chunks:
+            results.extend(self._resolve_chunk())
+        return results
+
+    def _resolve_chunk(self) -> list[FrameResult]:
+        frames_out, summary, frame_ids = self._pending_chunks.pop(0)
+        # ONE stacked device→host transfer for the whole chunk (flags +
+        # per-frame poses in a single fused buffer); eager per-frame slicing
+        # or per-array fetches would be one relay round trip each
+        s = np.asarray(summary)
+        all_flags = s[:, :3].astype(np.int64)
+        pose_R = s[:, 3:12].reshape(-1, 3, 3)
+        pose_t = s[:, 12:15]
+        results = []
+        for k, frame_id in enumerate(frame_ids):
+            ok, tracked, is_kf = all_flags[k]
+            if not ok:
+                results.append(self._tracking_failed(frame_id))
+                continue
+            self.lost_count = 0
+            self.frames_since_keyframe += 1
+            self.frames_since_reloc += 1
+            pose = Pose(pose_R[k], pose_t[k])
+            if is_kf:
+                # slice the full TrackedFrame out of the stacked chunk in one
+                # compiled dispatch (keyframes are rare)
+                if self._chunk_slicer is None:
+                    self._chunk_slicer = jax.jit(
+                        lambda fr, i: jax.tree.map(lambda a: a[i], fr))
+                frame_k = self._chunk_slicer(frames_out, np.int32(k))
+                self._insert_keyframe_and_map(frame_k, frame_id)
+            results.append(FrameResult(frame_id, TrackingState.TRACKING,
+                                       pose, int(tracked), bool(is_kf)))
+        self.results.extend(results)
+        return results
+
     def process_frame_pipelined(self, image, timestamp: float,
                                 frame_id: int) -> FrameResult | None:
         """Highest-throughput entry: one compiled dispatch per frame (image
@@ -747,9 +1008,12 @@ class SlamSession:
         self.lost_count += 1
         lost_limit = self.settings.TrackLocalMapSettings.TrackingLostCountUntilReloc
         if self.lost_count >= lost_limit:
-            # TrackingLost: clear history; subsequent frames take the
-            # BoW-relocalization path (Runtime.cpp:171-176, 281-302)
-            self.history = self.history.clear()
+            # TrackingLost: clear history ONCE at the transition; subsequent
+            # frames take the BoW-relocalization path (Runtime.cpp:171-176,
+            # 281-302). Re-clearing every lost frame would be one eager
+            # device op (= a relay round trip) per frame for no state change.
+            if self.lost_count == lost_limit:
+                self.history = self.history.clear()
             return FrameResult(frame_id, TrackingState.RELOCALIZING, None, 0, False)
         return FrameResult(frame_id, TrackingState.SKIPPED, None, 0, False)
 

@@ -170,6 +170,55 @@ class TestPipelinedImagePath:
         assert tracked >= 25, tracked
 
 
+class TestChunkedFrameLoop:
+    def test_chunked_and_stream_match_per_frame(self, rng):
+        """process_frames_chunked / process_frame_stream (C frames per
+        compiled dispatch, device-side lax.scan) produce the same poses as
+        the per-frame path."""
+        import sys
+        sys.path.insert(0, ".")
+        import bench
+
+        rng2 = np.random.RandomState(7)
+        pts, patches = bench.build_world(rng2)
+        cam = jnp.array([bench.FX, bench.FY, bench.CX, bench.CY], jnp.float32)
+        images = [jnp.asarray(bench.render(pts, patches, i * 0.033))
+                  for i in range(52)]
+
+        def warm(sess):
+            for i in range(40):
+                sess.process_frame(images[i], i * 0.033, i)
+
+        s_ref = SlamSession(cam=cam, image_width=bench.W, image_height=bench.H)
+        warm(s_ref)
+        ref = [s_ref.process_frame(images[i], i * 0.033, i) for i in range(40, 52)]
+
+        s_chunk = SlamSession(cam=cam, image_width=bench.W, image_height=bench.H)
+        warm(s_chunk)
+        got = []
+        for base in (40, 44, 48):
+            ids = list(range(base, base + 4))
+            got.extend(s_chunk.process_frames_chunked(
+                [images[i] for i in ids], [i * 0.033 for i in ids], ids))
+        got.extend(s_chunk.flush_chunks())
+
+        s_stream = SlamSession(cam=cam, image_width=bench.W, image_height=bench.H)
+        warm(s_stream)
+        bank = jnp.stack(images)
+        got_s = s_stream.process_frame_stream(
+            bank, [i * 0.033 for i in range(52)], list(range(52)),
+            start=40, stop=52, chunk=4)
+
+        assert len(got) == len(ref) and len(got_s) == len(ref)
+        for a, b, c in zip(ref, got, got_s):
+            assert a.state == b.state == c.state
+            if a.pose is not None:
+                np.testing.assert_allclose(np.asarray(a.pose.t),
+                                           np.asarray(b.pose.t), atol=1e-4)
+                np.testing.assert_allclose(np.asarray(a.pose.t),
+                                           np.asarray(c.pose.t), atol=1e-4)
+
+
 class TestLongRun:
     def test_banks_stay_bounded_and_tracking_survives(self, rng):
         """120 frames over a long revisiting trajectory: culling keeps the

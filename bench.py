@@ -30,7 +30,7 @@ W, H = 640, 480
 FX = FY = 520.0
 CX, CY = 320.0, 240.0
 N_POINTS = 250
-N_FRAMES = 240
+N_FRAMES = 320
 WARMUP_FRAMES = 40
 
 
@@ -95,6 +95,10 @@ def main():
     # over 32 frames; deployments on directly-attached TPUs keep the
     # reference's MaxPendingKeyframes=4 depth
     sess._pipeline_depth = 32
+    # resolve chunks in groups of 4: ONE device->host round trip per 64
+    # frames (a fetch through the remote relay costs ~50 ms regardless of
+    # size; locally-attached deployments would use depth 1-2)
+    sess._chunk_pipeline_depth = 4
 
     CHUNK = 16
     for i in range(WARMUP_FRAMES - 5):
@@ -110,10 +114,10 @@ def main():
     # timed: the chunked stream (CHUNK frames per compiled dispatch — the
     # per-frame work is identical to the per-frame path; see
     # tests/test_pipeline.py::TestChunkedFrameLoop for the equivalence).
-    # Segments of 3 chunks; median over segments rejects remote-relay stalls
+    # Segments of 4 chunks; median over segments rejects remote-relay stalls
     # without hiding real per-frame cost.
     i0 = WARMUP_FRAMES + CHUNK
-    seg_len = 3 * CHUNK
+    seg_len = 4 * CHUNK
     tracked = timed = 0
     seg_times = []
     base = i0

@@ -50,20 +50,33 @@ def fast_score_map(img: jax.Array, threshold: int) -> jax.Array:
     """
     img = img.astype(jnp.float32)
     h, w = img.shape
-    # d_k = center - circle_k for all 16 circle positions: (16, H, W)
-    d = jnp.stack([img - _shifted(img, dx, dy) for (dx, dy) in CIRCLE16])
+    # d_k = center - circle_k for all 16 circle positions. Kept as a python
+    # list of (H, W) planes — stacking into (16/24, H, W) tensors forces XLA
+    # to materialize hundreds of MB of intermediates per frame (measured:
+    # 473 MB accessed for this function alone in the stacked form); the list
+    # form fuses into a handful of passes over the frame.
+    pad = 3
+    p = jnp.pad(img, pad)                # pad ONCE; 16 static slices share it
+    d = [img - jax.lax.dynamic_slice(p, (pad + dy, pad + dx), (h, w))
+         for (dx, dy) in CIRCLE16]
+    ext = d + d[:8]                      # circular extension, 24 planes
 
-    # circular windows of 9: window k covers d[k..k+8]
-    d2 = jnp.concatenate([d, d[:8]], axis=0)  # (24, H, W)
-    # running min/max over 9 via a tree of 8 pairwise ops per position would be
-    # ideal; unrolled min-chain is fine (static, XLA fuses it).
-    dark_min = d2[:16]
-    bright_min = -d2[:16]
-    for i in range(1, 9):
-        dark_min = jnp.minimum(dark_min, d2[i : i + 16])
-        bright_min = jnp.minimum(bright_min, -d2[i : i + 16])
-    dark = jnp.max(dark_min, axis=0)
-    bright = jnp.max(bright_min, axis=0)
+    def window9_min(planes):
+        """Sparse-table min over each contiguous window of 9: exact, with
+        O(log) pairwise ops per plane instead of an 8-deep min chain."""
+        m2 = [jnp.minimum(planes[i], planes[i + 1])
+              for i in range(len(planes) - 1)]
+        m4 = [jnp.minimum(m2[i], m2[i + 2]) for i in range(len(m2) - 2)]
+        m8 = [jnp.minimum(m4[i], m4[i + 4]) for i in range(len(m4) - 4)]
+        return [jnp.minimum(m8[k], planes[k + 8]) for k in range(16)]
+
+    dark_w = window9_min(ext)
+    bright_w = window9_min([-p for p in ext])
+    dark = dark_w[0]
+    bright = bright_w[0]
+    for k in range(1, 16):
+        dark = jnp.maximum(dark, dark_w[k])
+        bright = jnp.maximum(bright, bright_w[k])
     score = jnp.maximum(dark, bright) - 1.0
 
     is_corner = score >= threshold
@@ -107,7 +120,15 @@ def extract_candidates(
     inb = (xs >= border) & (xs < w - border) & (ys >= border) & (ys < h - border)
     s = jnp.where(inb, score, -jnp.inf)
     flat = s.reshape(-1)
-    vals, idx = jax.lax.top_k(flat, k)
+    if jax.default_backend() == "tpu":
+        # XLA lowers top_k to a full bitonic sort of the H*W map — hundreds
+        # of MB of HBM passes per frame (the single largest cost in the whole
+        # pipeline). The TPU PartialReduce custom op selects k of n in O(n).
+        # Recall 0.99 only perturbs the weakest pre-ANMS candidates; CPU
+        # (tests/oracles) keeps the exact sort.
+        vals, idx = jax.lax.approx_max_k(flat, k, recall_target=0.99)
+    else:
+        vals, idx = jax.lax.top_k(flat, k)
     yy = (idx // w).astype(jnp.float32)
     xx = (idx % w).astype(jnp.float32)
     valid = vals > 0.0

@@ -859,8 +859,11 @@ class SlamSession:
             self.map, self.history, self.pose_history, frames_out, summary = out
             self._pending_chunks.append(
                 (frames_out, summary, list(frame_ids[base:base + chunk])))
-            while len(self._pending_chunks) > self._chunk_pipeline_depth:
-                results.extend(self._resolve_chunk())
+            if len(self._pending_chunks) > self._chunk_pipeline_depth:
+                # group-resolve all but the newest chunk: one fetch round
+                # trip amortized over depth*chunk frames
+                results.extend(
+                    self._resolve_chunks(len(self._pending_chunks) - 1))
             base += chunk
         results.extend(self.flush_chunks())
         return results
@@ -893,46 +896,57 @@ class SlamSession:
             np.int32(min(self.frames_since_reloc, 10_000)))
         self._pending_chunks.append((frames_out, flags, list(frame_ids)))
         results: list[FrameResult] = []
-        while len(self._pending_chunks) > (1 if pipelined else 0):
-            results.extend(self._resolve_chunk())
+        if not pipelined:
+            results.extend(self._resolve_chunks(len(self._pending_chunks)))
+        elif len(self._pending_chunks) > self._chunk_pipeline_depth:
+            results.extend(self._resolve_chunks(len(self._pending_chunks) - 1))
         return results
 
     def flush_chunks(self) -> list[FrameResult]:
         """Resolve all in-flight chunks; returns their frame results."""
-        results: list[FrameResult] = []
-        while self._pending_chunks:
-            results.extend(self._resolve_chunk())
-        return results
+        return self._resolve_chunks(len(self._pending_chunks))
 
     def _resolve_chunk(self) -> list[FrameResult]:
-        frames_out, summary, frame_ids = self._pending_chunks.pop(0)
-        # ONE stacked device→host transfer for the whole chunk (flags +
-        # per-frame poses in a single fused buffer); eager per-frame slicing
-        # or per-array fetches would be one relay round trip each
-        s = np.asarray(summary)
-        all_flags = s[:, :3].astype(np.int64)
-        pose_R = s[:, 3:12].reshape(-1, 3, 3)
-        pose_t = s[:, 12:15]
-        results = []
-        for k, frame_id in enumerate(frame_ids):
-            ok, tracked, is_kf = all_flags[k]
-            if not ok:
-                results.append(self._tracking_failed(frame_id))
-                continue
-            self.lost_count = 0
-            self.frames_since_keyframe += 1
-            self.frames_since_reloc += 1
-            pose = Pose(pose_R[k], pose_t[k])
-            if is_kf:
-                # slice the full TrackedFrame out of the stacked chunk in one
-                # compiled dispatch (keyframes are rare)
-                if self._chunk_slicer is None:
-                    self._chunk_slicer = jax.jit(
-                        lambda fr, i: jax.tree.map(lambda a: a[i], fr))
-                frame_k = self._chunk_slicer(frames_out, np.int32(k))
-                self._insert_keyframe_and_map(frame_k, frame_id)
-            results.append(FrameResult(frame_id, TrackingState.TRACKING,
-                                       pose, int(tracked), bool(is_kf)))
+        return self._resolve_chunks(1)
+
+    def _resolve_chunks(self, count: int) -> list[FrameResult]:
+        """Resolve the oldest `count` pending chunks with ONE device→host
+        transfer. Through a remote TPU attachment every fetch costs a full
+        round trip (~50 ms measured via the relay) no matter how small, so
+        summaries of many chunks are stacked on-device and fetched together."""
+        count = min(count, len(self._pending_chunks))
+        if count == 0:
+            return []
+        batch = self._pending_chunks[:count]
+        del self._pending_chunks[:count]
+        if count == 1:
+            s_all = np.asarray(batch[0][1])[None]
+        else:
+            s_all = np.asarray(jnp.stack([b[1] for b in batch]))
+        results: list[FrameResult] = []
+        for (frames_out, _, frame_ids), s in zip(batch, s_all):
+            all_flags = s[:, :3].astype(np.int64)
+            pose_R = s[:, 3:12].reshape(-1, 3, 3)
+            pose_t = s[:, 12:15]
+            for k, frame_id in enumerate(frame_ids):
+                ok, tracked, is_kf = all_flags[k]
+                if not ok:
+                    results.append(self._tracking_failed(frame_id))
+                    continue
+                self.lost_count = 0
+                self.frames_since_keyframe += 1
+                self.frames_since_reloc += 1
+                pose = Pose(pose_R[k], pose_t[k])
+                if is_kf:
+                    # slice the full TrackedFrame out of the stacked chunk in
+                    # one compiled dispatch (keyframes are rare)
+                    if self._chunk_slicer is None:
+                        self._chunk_slicer = jax.jit(
+                            lambda fr, i: jax.tree.map(lambda a: a[i], fr))
+                    frame_k = self._chunk_slicer(frames_out, np.int32(k))
+                    self._insert_keyframe_and_map(frame_k, frame_id)
+                results.append(FrameResult(frame_id, TrackingState.TRACKING,
+                                           pose, int(tracked), bool(is_kf)))
         self.results.extend(results)
         return results
 

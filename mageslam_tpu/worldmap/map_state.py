@@ -50,6 +50,12 @@ class MapState(NamedTuple):
     kf_desc: jax.Array       # (K, N, 8) uint32 rBRIEF
     kf_kp_valid: jax.Array   # (K, N) bool
     kf_assoc: jax.Array      # (K, N) int32 → point slot, or -1
+    # (K, P) bool membership cache: keyframe k observes point p. Associations
+    # only ever change inside the mapping/loop-closure cores, so those
+    # refresh it once per pass (refresh_membership) and the per-frame hot
+    # path reads it as two MXU matvecs instead of (K, N) index gathers —
+    # the gather form cost ~1.8 ms/frame on v5e.
+    kf_member: jax.Array
 
     # --- map points ---
     mp_valid: jax.Array          # (P,) bool
@@ -91,6 +97,7 @@ def empty_map(max_keyframes: int, max_points: int, max_features: int) -> MapStat
         kf_desc=jnp.zeros((K, N, 8), jnp.uint32),
         kf_kp_valid=jnp.zeros((K, N), bool),
         kf_assoc=jnp.full((K, N), INVALID, jnp.int32),
+        kf_member=jnp.zeros((K, P), bool),
         mp_valid=jnp.zeros((P,), bool),
         mp_pos=jnp.zeros((P, 3), jnp.float32),
         mp_desc=jnp.zeros((P, 8), jnp.uint32),
@@ -141,6 +148,13 @@ def point_keyframe_matrix(state: MapState) -> jax.Array:
     member = jnp.zeros((K, P), bool)
     rows = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[:, None], (K, N))
     return member.at[rows, pt].max(valid)
+
+
+def refresh_membership(state: MapState) -> MapState:
+    """Recompute the (K, P) membership cache from the association matrix.
+    Call at the end of every pass that mutates associations (mapping core,
+    loop closure, map adoption); the tracking hot path only reads it."""
+    return state._replace(kf_member=point_keyframe_matrix(state))
 
 
 def point_octave_histogram(state: MapState, num_levels: int) -> jax.Array:

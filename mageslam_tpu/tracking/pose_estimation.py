@@ -127,7 +127,14 @@ def estimate_pose_with_prior(
     from ..ops.matching import BIG as _MBIG, _best_and_second, hamming_matrix
 
     Cb = min(candidate_budget, cand.shape[0])
-    _, sel = jax.lax.top_k(cand.astype(jnp.float32), Cb)
+    # compaction key: validity, ties broken low-index-first (top_k's order);
+    # TPU routes through PartialReduce instead of a full bitonic sort
+    key = cand.astype(jnp.float32) * 2.0 - jnp.arange(
+        cand.shape[0], dtype=jnp.float32) / cand.shape[0]
+    if jax.default_backend() == "tpu":
+        _, sel = jax.lax.approx_max_k(key, Cb, recall_target=0.99)
+    else:
+        _, sel = jax.lax.top_k(key, Cb)
     sel = sel.astype(jnp.int32)
     cand_c = cand[sel]
     flat_desc_c = flat_desc[sel]

@@ -167,9 +167,14 @@ def track_local_map(
     unassociated = frame.kp_valid & (frame.assoc < 0)
     proj_xy = jnp.stack([u, v], axis=-1)
     C = min(candidate_budget, P)
-    # top_k, not argsort: full sorts are slow on TPU (bitonic over P lanes)
+    # top_k, not argsort: full sorts are slow on TPU (bitonic over P lanes);
+    # on TPU use the PartialReduce custom op — selection only decides which
+    # predicted candidates win budget slots on overflow (rare)
     prio = jnp.where(is_predicted, -dist_sq, -jnp.inf)
-    _, cand_idx = jax.lax.top_k(prio, C)
+    if jax.default_backend() == "tpu":
+        _, cand_idx = jax.lax.approx_max_k(prio, C, recall_target=0.99)
+    else:
+        _, cand_idx = jax.lax.top_k(prio, C)
     cand_idx = cand_idx.astype(jnp.int32)
     cand_ok = is_predicted[cand_idx]
     m_idx_c, m_dist_c = radius_match(

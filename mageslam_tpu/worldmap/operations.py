@@ -197,42 +197,58 @@ def cull_local_keyframes(
     covis_theta: int = 15,
     max_tracking_point_overlap: float = 0.9,
     min_keyframe_covis_count: int = 3,
+    max_culls: int = 8,
 ) -> tuple[MapState, jax.Array]:
     """ThreadSafeMap::CullLocalKeyframes: a covisible keyframe is redundant when
     ≥90% of its map points are observed at equal-or-finer scale by ≥3 other
-    keyframes. The reference culls newest-first to avoid cascades
-    (ThreadSafeMap.cpp:1077-1080); here one pass computes each candidate's
-    redundancy against the *current* map, then the single newest redundant
-    candidate is removed per call — callers may loop. Returns (state, culled
-    mask (K,))."""
+    keyframes. The reference walks the covisible set newest-first, culling
+    each redundant keyframe and re-evaluating against the UPDATED map
+    (ThreadSafeMap.cpp:1077-1150 — octave counts shrink as keyframes go, so
+    redundancy only decreases and the sweep terminates). Here the same loop
+    is a lax.while_loop: cull the newest redundant candidate, recompute, and
+    repeat until none remain (or the max_culls safety bound). Returns
+    (state, culled mask (K,))."""
     K, P, N = state.capacity
-    hist = point_octave_histogram(state, num_levels)             # (P, L)
-    cum = jnp.cumsum(hist, axis=1)                               # obs at level ≤ l
-
     connected = covis[ki] >= covis_theta
-    candidate = (
-        connected
-        & state.kf_valid
-        & jnp.logical_not(state.kf_immortal)
-        & (jnp.arange(K) != ki)
-    )
 
-    # per keyframe: fraction of its points seen equal-or-finer elsewhere
-    assoc = state.kf_assoc
-    a_ok = (assoc >= 0) & state.kf_kp_valid
-    safe = jnp.where(a_ok, assoc, 0)
-    octv = jnp.clip(state.kf_kp_octave, 0, num_levels - 1)
-    seen_fine = jnp.take_along_axis(cum[safe], octv[..., None], axis=-1)[..., 0]  # (K, N)
-    well_observed = a_ok & ((seen_fine - 1) >= min_keyframe_covis_count)
-    n_points = jnp.sum(a_ok.astype(jnp.int32), axis=1)
-    n_well = jnp.sum(well_observed.astype(jnp.int32), axis=1)
-    redundant = candidate & (
-        n_well.astype(jnp.float32) >= max_tracking_point_overlap * n_points.astype(jnp.float32)
-    ) & (n_points > 0)
+    def find_victim(st: MapState) -> tuple[jax.Array, jax.Array]:
+        hist = point_octave_histogram(st, num_levels)            # (P, L)
+        cum = jnp.cumsum(hist, axis=1)                           # obs at level ≤ l
+        candidate = (
+            connected
+            & st.kf_valid
+            & jnp.logical_not(st.kf_immortal)
+            & (jnp.arange(K) != ki)
+        )
+        # per keyframe: fraction of its points seen equal-or-finer elsewhere
+        assoc = st.kf_assoc
+        a_ok = (assoc >= 0) & st.kf_kp_valid
+        safe = jnp.where(a_ok, assoc, 0)
+        octv = jnp.clip(st.kf_kp_octave, 0, num_levels - 1)
+        seen_fine = jnp.take_along_axis(cum[safe], octv[..., None], axis=-1)[..., 0]
+        well_observed = a_ok & ((seen_fine - 1) >= min_keyframe_covis_count)
+        n_points = jnp.sum(a_ok.astype(jnp.int32), axis=1)
+        n_well = jnp.sum(well_observed.astype(jnp.int32), axis=1)
+        redundant = candidate & (
+            n_well.astype(jnp.float32)
+            >= max_tracking_point_overlap * n_points.astype(jnp.float32)
+        ) & (n_points > 0)
+        # newest-first (anti-cascade, ThreadSafeMap.cpp:1077-1080)
+        order_score = jnp.where(redundant, st.kf_order, -1)
+        victim = jnp.argmax(order_score).astype(jnp.int32)
+        return victim, jnp.any(redundant)
 
-    # newest redundant candidate only (anti-cascade, newest-first)
-    order_score = jnp.where(redundant, state.kf_order, -1)
-    victim = jnp.argmax(order_score).astype(jnp.int32)
-    any_victim = jnp.any(redundant)
-    cull_mask = (jnp.arange(K) == victim) & any_victim
-    return remove_keyframes(state, cull_mask), cull_mask
+    def cond(carry):
+        st, culled, n = carry
+        _, any_v = find_victim(st)
+        return any_v & (n < max_culls)
+
+    def body(carry):
+        st, culled, n = carry
+        victim, any_v = find_victim(st)
+        cull_mask = (jnp.arange(K) == victim) & any_v
+        return remove_keyframes(st, cull_mask), culled | cull_mask, n + 1
+
+    state, culled, _ = jax.lax.while_loop(
+        cond, body, (state, jnp.zeros((K,), bool), jnp.int32(0)))
+    return state, culled

@@ -11,7 +11,7 @@ keyframe decision fires — exactly the work MAGE-SLAM does per frame.
 Fully end-to-end: the frontend's features from the rendered images drive
 initialization and tracking (no side-channel ground truth). Tracking
 correctness is enforced: untracked frames zero out the reported value.
-Frames run through the chunked stream path (16 frames per compiled
+Frames run through the chunked stream path (32 frames per compiled
 dispatch, a device-side lax.scan of the same fused per-frame step — bit-
 identical to the per-frame path, tests/test_pipeline.py TestChunkedFrameLoop).
 
@@ -30,7 +30,7 @@ W, H = 640, 480
 FX = FY = 520.0
 CX, CY = 320.0, 240.0
 N_POINTS = 250
-N_FRAMES = 320
+N_FRAMES = 380
 WARMUP_FRAMES = 40
 
 
@@ -100,7 +100,7 @@ def main():
     # size; locally-attached deployments would use depth 1-2)
     sess._chunk_pipeline_depth = 4
 
-    CHUNK = 16
+    CHUNK = 32
     for i in range(WARMUP_FRAMES - 5):
         sess.process_frame(bank[i], i * 0.033, i)
     # compile the fused per-frame step and the chunked stream core before
@@ -114,10 +114,10 @@ def main():
     # timed: the chunked stream (CHUNK frames per compiled dispatch — the
     # per-frame work is identical to the per-frame path; see
     # tests/test_pipeline.py::TestChunkedFrameLoop for the equivalence).
-    # Segments of 4 chunks; median over segments rejects remote-relay stalls
+    # Segments of 3 chunks; median over segments rejects remote-relay stalls
     # without hiding real per-frame cost.
     i0 = WARMUP_FRAMES + CHUNK
-    seg_len = 4 * CHUNK
+    seg_len = 3 * CHUNK
     tracked = timed = 0
     seg_times = []
     base = i0

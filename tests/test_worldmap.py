@@ -214,6 +214,27 @@ class TestCulling:
         assert not bool(m2.kf_valid[4])
         assert bool(m2.kf_valid[0])
 
+    def test_keyframe_cull_loops_within_pass(self, rng):
+        """The in-pass sweep culls newest-first until no keyframe is
+        redundant against the UPDATED map (ThreadSafeMap::CullLocalKeyframes
+        loop): 6 identical keyframes reduce to 3 (each point must keep
+        MinimumKeyframeCovisibilityCount=3 equal-or-finer observers)."""
+        m = empty_map(K_CAP, P_CAP, N_CAP)
+        n_pts = 20
+        for i in range(6):
+            m, _ = insert(m, rng)
+        m = m._replace(kf_kp_octave=jnp.zeros_like(m.kf_kp_octave))
+        assoc = m.kf_assoc
+        for k in range(6):
+            assoc = assoc.at[k, :n_pts].set(jnp.arange(n_pts, dtype=jnp.int32))
+        m = m._replace(kf_assoc=assoc, mp_valid=m.mp_valid.at[:n_pts].set(True))
+        covis = covisibility_matrix(m)
+        m2, culled = cull_local_keyframes(m, jnp.int32(0), covis, num_levels=3,
+                                          covis_theta=15)
+        assert np.asarray(culled)[[5, 4, 3]].all()       # newest-first
+        assert not np.asarray(culled)[[0, 1, 2]].any()
+        assert int(jnp.sum(m2.kf_valid)) == 3
+
     def test_immortal_never_culled(self, rng):
         m = empty_map(K_CAP, P_CAP, N_CAP)
         n_pts = 20

@@ -138,6 +138,10 @@ class SlamSession:
         self._pending_chunks: list = []
         self._chunk_slicer = None
         self._stream_cores: dict[int, object] = {}
+        # mapping offload (enable_mapping_offload): None = sync mapping
+        self._mapping_device = None
+        self._offload_core = None
+        self._offload_pending = None
         # chunks in flight before resolving (keyframe/mapping lag bound;
         # >1 hides the dispatch+fetch round trips behind device compute)
         self._chunk_pipeline_depth = 2
@@ -1089,6 +1093,7 @@ class SlamSession:
         return jax.jit(reloc)
 
     def _relocalize(self, feats, timestamp, frame_id) -> FrameResult:
+        self._adopt_offloaded_mapping()
         self.key, sub = jax.random.split(self.key)
         frame = self._frame(feats, Pose.identity(), timestamp, frame_id)
         res = self._reloc_core(self.map, self.bow, frame, sub)
@@ -1176,9 +1181,11 @@ class SlamSession:
                 jnp.where(hit, jnp.arange(P, dtype=jnp.int32), -1), mode="drop")
             return frame._replace(assoc=new_assoc)
 
-        def mapping(map_state: MapState, pose_history: PoseHistory,
-                    frame: TrackedFrame, map_scale):
-            state0, ph0 = map_state, pose_history
+        def mapping_body(map_state: MapState, frame: TrackedFrame, map_scale):
+            """The per-keyframe mapping schedule WITHOUT the pose-history
+            rebase — shared by the sync core and the offload core (the
+            rebase runs wherever the pose history lives)."""
+            state0 = map_state
             n_kf = jnp.sum(map_state.kf_valid.astype(jnp.int32))
             frame = jax.tree.map(
                 lambda a, b: jnp.where(
@@ -1243,7 +1250,7 @@ class SlamSession:
                 fes.NumLevels, fes.ScaleFactor,
             )
 
-            # keyframe culling + pose-history rebase (no-op when nothing culled)
+            # keyframe culling (no-op when nothing culled)
             covis2 = covisibility_matrix(map_state)
             old_poses = map_state.kf_pose
             map_state, culled = cull_local_keyframes(
@@ -1252,18 +1259,86 @@ class SlamSession:
                 max_tracking_point_overlap=ks.MappingMaxTrackingPointOverlap,
                 min_keyframe_covis_count=ks.MinimumKeyframeCovisibilityCount,
             )
-            pose_history = ph0.rebase(old_poses, culled, ki_s, map_state.kf_pose)
             map_state = refresh_membership(map_state)
 
             # keyframe bank full -> whole mapping step is a no-op
             pick = lambda new, old: jax.tree.map(
                 lambda a, c: jnp.where(
                     jnp.reshape(ok, (1,) * a.ndim), a, c), new, old)
-            return pick(map_state, state0), pick(pose_history, ph0), ki
+            return (pick(map_state, state0), ki, culled & ok, old_poses)
 
+        def mapping(map_state: MapState, pose_history: PoseHistory,
+                    frame: TrackedFrame, map_scale):
+            new_state, ki, culled, old_poses = mapping_body(
+                map_state, frame, map_scale)
+            ki_s = jnp.where(ki >= 0, ki, 0)
+            pose_history = pose_history.rebase(
+                old_poses, culled, ki_s, new_state.kf_pose)
+            return new_state, pose_history, ki
+
+        self._mapping_body = mapping_body
         return jax.jit(mapping)
 
+    # -- mapping offload (pipeline parallelism over devices) ------------- #
+    def enable_mapping_offload(self, device) -> None:
+        """Run the per-keyframe mapping schedule on `device` while tracking
+        continues on the main device — the multi-chip form of the
+        reference's tracking/mapping thread split (SURVEY §2.4: mapping on
+        its own dispatcher thread, map writes at rendezvous states). The
+        offloaded pass works on a map snapshot; tracking keeps using the
+        pre-keyframe map until the result is adopted at the next keyframe /
+        relocalization / fossilize — the same read/write interleaving the
+        reference's state machine permits. Tracking-side found/predicted
+        counter deltas accumulated during the overlap are merged exactly."""
+        self._mapping_device = device
+        if self._offload_core is None:
+            self._offload_core = jax.jit(self._mapping_body)
+
+    def _offload_mapping(self, frame: TrackedFrame, frame_id: int) -> None:
+        self._adopt_offloaded_mapping()   # serialize mapping passes
+        dev = self._mapping_device
+        snap = (self.map.mp_found, self.map.mp_predicted)
+        m_dev = jax.device_put(self.map, dev)
+        f_dev = jax.device_put(frame, dev)
+        out = self._offload_core(m_dev, f_dev,
+                                 jax.device_put(jnp.float32(self.map_scale), dev))
+        self._offload_pending = (out, frame, frame_id, snap)
+
+    def _adopt_offloaded_mapping(self) -> None:
+        if self._offload_pending is None:
+            return
+        (m2, ki, culled, old_poses), frame, frame_id, (sf, sp) = \
+            self._offload_pending
+        self._offload_pending = None
+        main_dev = jax.devices()[0]
+        m2, ki, culled, old_poses = jax.device_put(
+            (m2, ki, culled, old_poses), main_dev)
+        # merge tracking-side recent-point counters earned during the overlap
+        m2 = m2._replace(
+            mp_found=jnp.where(m2.mp_valid,
+                               m2.mp_found + (self.map.mp_found - sf), m2.mp_found),
+            mp_predicted=jnp.where(
+                m2.mp_valid,
+                m2.mp_predicted + (self.map.mp_predicted - sp), m2.mp_predicted),
+        )
+        ki_s = jnp.where(ki >= 0, ki, 0)
+        self.pose_history = self.pose_history.rebase(
+            old_poses, culled, ki_s, m2.kf_pose)
+        self.map = m2
+        ki_i = int(ki)
+        if ki_i >= 0:
+            self.frames_since_keyframe = 0
+            self.last_kf_slot = ki_i
+            self.bow = bow_add_keyframe(
+                self.bow, jnp.int32(ki_i), frame.desc, frame.kp_valid)
+            self.bow = self.bow._replace(
+                kf_has=self.bow.kf_has & self.map.kf_valid)
+            self._maybe_close_loop(frame, ki_i)
+
     def _insert_keyframe_and_map(self, frame: TrackedFrame, frame_id: int):
+        if self._mapping_device is not None:
+            self._offload_mapping(frame, frame_id)
+            return
         self.map, self.pose_history, ki = self._mapping_core(
             self.map, self.pose_history, frame, jnp.float32(self.map_scale)
         )
@@ -1346,6 +1421,7 @@ class SlamSession:
     def fossilize(self, global_ba_steps: int | None = None):
         """Final global BA + frozen trajectory (MAGESlam::Fossilize,
         MageSlam.cpp:322-383). Returns (frame_ids, poses (M,4,4) world→camera)."""
+        self._adopt_offloaded_mapping()
         steps = global_ba_steps if global_ba_steps is not None else \
             self.settings.GraphOptimizationSettings.NumSteps
         if self.initialized and steps > 0:

@@ -71,3 +71,45 @@ class TestSessionParallel:
         jax.block_until_ready(out)
         assert bool(jnp.all(jnp.isfinite(out.frame.pose.t)))
         assert out.frame.pose.t.shape[0] == 8
+
+
+class TestMappingOffload:
+    def test_offloaded_mapping_tracks_and_adopts(self, rng):
+        """Mapping on a second device (pipeline parallelism — the
+        reference's tracking/mapping thread split): the session keeps
+        tracking on the stale map during the overlap, adopts the mapped
+        state at the next keyframe/fossilize, and merges tracking-side
+        counters. Compare against the synchronous session."""
+        import sys
+        sys.path.insert(0, ".")
+        import bench
+        from mageslam_tpu.runtime import SlamSession, TrackingState
+
+        rng2 = np.random.RandomState(7)
+        pts, patches = bench.build_world(rng2)
+        cam = jnp.array([bench.FX, bench.FY, bench.CX, bench.CY], jnp.float32)
+        images = [jnp.asarray(bench.render(pts, patches, i * 0.033))
+                  for i in range(60)]
+
+        def run(offload):
+            sess = SlamSession(cam=cam, image_width=bench.W,
+                               image_height=bench.H)
+            if offload:
+                assert len(jax.devices()) >= 2
+                sess.enable_mapping_offload(jax.devices()[1])
+            for i in range(60):
+                sess.process_frame(images[i], i * 0.033, i)
+            ids, mats = sess.fossilize(global_ba_steps=0)
+            tracked = sum(r.state == TrackingState.TRACKING
+                          for r in sess.results)
+            return sess, tracked, ids, mats
+
+        s_sync, t_sync, _, _ = run(False)
+        s_off, t_off, ids, mats = run(True)
+        assert t_off >= t_sync - 5, (t_off, t_sync)
+        assert np.isfinite(mats).all()
+        n_kf_sync = int(jnp.sum(s_sync.map.kf_valid))
+        n_kf_off = int(jnp.sum(s_off.map.kf_valid))
+        assert abs(n_kf_off - n_kf_sync) <= 1, (n_kf_off, n_kf_sync)
+        # the adopted map must live on the main device again
+        assert list(s_off.map.mp_pos.devices())[0] == jax.devices()[0]

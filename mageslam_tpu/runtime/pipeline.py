@@ -896,14 +896,14 @@ class SlamSession:
         core = self._chunk_cores.get(C)
         if core is None:
             core = self._chunk_cores[C] = self._build_chunk_core(C)
-        self.map, self.history, self.pose_history, frames_out, flags = core(
+        self.map, self.history, self.pose_history, frames_out, summary = core(
             self.map, self.history, self.pose_history,
             tuple(images),
             np.asarray(timestamps, np.float32),
             np.asarray(frame_ids, np.int32),
             np.int32(self.frames_since_keyframe),
             np.int32(min(self.frames_since_reloc, 10_000)))
-        self._pending_chunks.append((frames_out, flags, list(frame_ids)))
+        self._pending_chunks.append((frames_out, summary, list(frame_ids)))
         results: list[FrameResult] = []
         if not pipelined:
             results.extend(self._resolve_chunks(len(self._pending_chunks)))

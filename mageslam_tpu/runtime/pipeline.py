@@ -880,10 +880,10 @@ class SlamSession:
     def process_frames_chunked(self, images, timestamps, frame_ids,
                                pipelined: bool = True) -> list[FrameResult]:
         """Highest-throughput entry: C frames per compiled dispatch (images
-        in → per-frame flags out). With pipelined=True (default) the chunk's
-        outcomes resolve when the NEXT chunk is dispatched, hiding the
-        device→host flag latency behind the next chunk's compute; call
-        `flush_chunks()` at end of stream. Only valid while initialized and
+        in → per-frame flags out). With pipelined=True (default) outcomes
+        resolve in groups once more than `_chunk_pipeline_depth` chunks are
+        in flight — one device→host round trip per group, hidden behind the
+        newer chunks' compute; call `flush_chunks()` at end of stream. Only valid while initialized and
         tracking; callers fall back to process_frame during
         init/relocalization (the console app does)."""
         if not self.initialized or self.lost_count >= \

@@ -1,0 +1,337 @@
+"""Photorealistic synthetic scene renderer with ground truth (ATE harness).
+
+The north-star accuracy claim (BASELINE.md: ATE RMSE parity on real imagery)
+needs pixel input with natural image statistics — textures, occlusion,
+lighting variation — not procedural feature patches. No public dataset ships
+in this environment, so this module renders one: a textured room (walls,
+floor, ceiling, boxes, posters) raycast at 640×480 along a smooth exploring
+trajectory, with Lambertian shading, per-frame lighting variation, distance
+falloff, vignette and sensor noise. Textures are 1/f ("pink") noise shaped by
+structured patterns (bricks, wood grain, checkers, blobs) — the spectral
+statistics FAST/rBRIEF see on natural images.
+
+Written as a TUM RGB-D sequence directory (rgb.txt + rgb/*.png +
+groundtruth.txt), so the golden-path contract of the reference console
+(Apps/Console/console.cpp:291-341) runs unchanged:
+
+    python -m mageslam_tpu.apps.render_scene /tmp/scene --frames 300
+    python -m mageslam_tpu.apps.console /tmp/scene -o traj.csv
+    python -m mageslam_tpu.apps.evaluate traj.csv /tmp/scene/groundtruth.txt
+
+Everything is also importable (build_scene / render_frame / trajectory_pose)
+so tests can drive the full image path in memory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import NamedTuple
+
+import numpy as np
+
+# TUM fr1 intrinsics at 640×480 — matches the console's camera defaults so no
+# flags are needed on the SLAM side.
+FX, FY, CX, CY = 517.3, 516.5, 318.6, 255.3
+BASE_W, BASE_H = 640, 480
+
+
+class Surface(NamedTuple):
+    p0: np.ndarray       # (3,) corner
+    eu: np.ndarray       # (3,) edge vector (u, full extent)
+    ev: np.ndarray       # (3,) edge vector (v, full extent)
+    texture: np.ndarray  # (Th, Tw) float32 albedo in [0, 1]
+
+
+# --------------------------------------------------------------------------- #
+# textures
+
+
+def _pink_noise(rng: np.random.Generator, n: int, alpha: float = 1.8) -> np.ndarray:
+    """1/f^alpha noise field in [0, 1] — natural-image power spectrum."""
+    f = np.fft.fftfreq(n)
+    fx, fy = np.meshgrid(f, f)
+    r2 = fx * fx + fy * fy
+    r2[0, 0] = 1.0
+    spec = r2 ** (-alpha / 2.0)
+    spec[0, 0] = 0.0
+    phase = rng.uniform(0.0, 2.0 * np.pi, (n, n))
+    img = np.real(np.fft.ifft2(np.sqrt(spec) * np.exp(1j * phase)))
+    lo, hi = img.min(), img.max()
+    return ((img - lo) / max(hi - lo, 1e-9)).astype(np.float32)
+
+
+def _brick(rng: np.random.Generator, n: int) -> np.ndarray:
+    y, x = np.mgrid[0:n, 0:n]
+    row = y // (n // 8)
+    xx = x + (row % 2) * (n // 8)
+    mortar_y = (y % (n // 8)) < 2
+    mortar_x = (xx % (n // 4)) < 2
+    base = 0.45 + 0.25 * _pink_noise(rng, n, 1.6)
+    base[mortar_y | mortar_x] = 0.85
+    return np.clip(base + 0.08 * rng.standard_normal((n, n)), 0.05, 0.98).astype(np.float32)
+
+
+def _wood(rng: np.random.Generator, n: int) -> np.ndarray:
+    y, x = np.mgrid[0:n, 0:n].astype(np.float32) / n
+    warp = 0.25 * _pink_noise(rng, n, 2.2)
+    grain = 0.5 + 0.45 * np.sin(2 * np.pi * (10 * x + 6 * warp))
+    return np.clip(0.25 + 0.55 * grain * (0.6 + 0.4 * _pink_noise(rng, n, 1.5)),
+                   0.05, 0.98).astype(np.float32)
+
+
+def _checker(rng: np.random.Generator, n: int, cells: int = 10) -> np.ndarray:
+    y, x = np.mgrid[0:n, 0:n]
+    c = ((x * cells // n) + (y * cells // n)) % 2
+    base = np.where(c, 0.75, 0.25).astype(np.float32)
+    return np.clip(base * (0.65 + 0.55 * _pink_noise(rng, n, 1.7)), 0.05, 0.98)
+
+
+def _blobs(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Poster-like high-contrast blob field."""
+    img = _pink_noise(rng, n, 2.4)
+    img = np.where(img > 0.55, 0.85, 0.2).astype(np.float32)
+    return np.clip(img * (0.7 + 0.5 * _pink_noise(rng, n, 1.4)), 0.05, 0.98)
+
+
+_TEX_MAKERS = [_brick, _wood, _checker, _blobs]
+
+
+# --------------------------------------------------------------------------- #
+# scene
+
+
+def build_scene(seed: int = 7, tex: int = 384) -> list[Surface]:
+    """A 8×3×9 m room (y down: floor at y=+1.2) with boxes and posters."""
+    rng = np.random.default_rng(seed)
+    v = lambda *a: np.array(a, np.float32)
+    surfaces: list[Surface] = []
+
+    def add(p0, eu, ev, maker):
+        surfaces.append(Surface(v(*p0), v(*eu), v(*ev), maker(rng, tex)))
+
+    # room shell (normals irrelevant; raycaster is double-sided)
+    add((-4, 1.2, -1), (8, 0, 0), (0, 0, 10), _wood)        # floor
+    add((-4, -1.8, -1), (8, 0, 0), (0, 0, 10), _pink_noise)  # ceiling
+    add((-4, -1.8, 9), (8, 0, 0), (0, 3, 0), _brick)         # back wall
+    add((-4, -1.8, -1), (0, 0, 10), (0, 3, 0), _brick)       # left wall
+    add((4, -1.8, -1), (0, 0, 10), (0, 3, 0), _checker)      # right wall
+
+    # posters on the walls (slightly proud so they occlude the wall)
+    add((-1.6, -1.2, 8.98), (1.4, 0, 0), (0, 1.5, 0), _blobs)
+    add((0.6, -1.0, 8.98), (1.8, 0, 0), (0, 1.2, 0), _wood)
+    add((-3.98, -1.1, 2.0), (0, 0, 2.0), (0, 1.4, 0), _blobs)
+    add((3.98, -1.2, 3.5), (0, 0, 1.6), (0, 1.6, 0), _blobs)
+
+    # boxes standing on the floor (5 faces each; bottom omitted)
+    def box(cx_, cz, w, h, d, maker):
+        x0, z0, y0 = cx_ - w / 2, cz - d / 2, 1.2
+        add((x0, y0 - h, z0), (w, 0, 0), (0, 0, d), maker)              # top
+        add((x0, y0, z0), (w, 0, 0), (0, -h, 0), maker)                 # front
+        add((x0, y0, z0 + d), (w, 0, 0), (0, -h, 0), maker)             # back
+        add((x0, y0, z0), (0, 0, d), (0, -h, 0), maker)                 # left
+        add((x0 + w, y0, z0), (0, 0, d), (0, -h, 0), maker)             # right
+
+    box(-1.8, 4.0, 1.1, 1.0, 0.9, _checker)
+    box(1.5, 5.5, 1.4, 1.6, 1.0, _wood)
+    box(0.2, 3.0, 0.7, 0.6, 0.7, _blobs)
+    box(-2.6, 6.8, 1.0, 2.0, 1.0, _brick)
+    box(2.8, 2.6, 0.8, 0.9, 0.8, _pink_noise)
+    return surfaces
+
+
+# --------------------------------------------------------------------------- #
+# trajectory (ground truth)
+
+
+def trajectory_pose(i: int, n_frames: int) -> tuple[np.ndarray, np.ndarray]:
+    """Ground-truth camera pose for frame i: returns (R, c) with R the
+    world→camera rotation and c the camera center. A smooth exploring sweep:
+    lateral figure with gentle push-in and yaw, translation-dominant (mono
+    SLAM needs parallax)."""
+    t = i / max(n_frames - 1, 1)
+    c = np.array([
+        1.1 * np.sin(2.0 * np.pi * t),
+        -0.25 + 0.12 * np.sin(4.0 * np.pi * t + 1.0),
+        0.55 * np.sin(2.0 * np.pi * t + np.pi / 2) + 0.4,
+    ], np.float32)
+    yaw = 0.16 * np.sin(2.0 * np.pi * t + np.pi)          # ±9°
+    pitch = 0.05 * np.sin(4.0 * np.pi * t)
+    cy_, sy = np.cos(yaw), np.sin(yaw)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    R_yaw = np.array([[cy_, 0, -sy], [0, 1, 0], [sy, 0, cy_]], np.float32)
+    R_pitch = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]], np.float32)
+    R = (R_pitch @ R_yaw).astype(np.float32)               # world→camera
+    return R, c
+
+
+# --------------------------------------------------------------------------- #
+# raycaster
+
+
+def render_frame(
+    surfaces: list[Surface],
+    R: np.ndarray,
+    c: np.ndarray,
+    width: int = BASE_W,
+    height: int = BASE_H,
+    frame_index: int = 0,
+    noise_sigma: float = 1.5,
+    light_dir: np.ndarray | None = None,
+    supersample: int = 1,
+) -> np.ndarray:
+    """Render one grayscale uint8 frame from world→camera pose (R, c).
+
+    supersample=k raycasts at k× resolution and box-averages down — the
+    antialiasing a real camera's optics/Bayer pipeline provides. Use ≥2 when
+    rendering below ~640×480 or texture aliasing breaks descriptor
+    repeatability."""
+    if supersample > 1:
+        hi = render_frame(surfaces, R, c, width * supersample,
+                          height * supersample, frame_index, 0.0, light_dir)
+        lo = hi.astype(np.float32).reshape(
+            height, supersample, width, supersample).mean(axis=(1, 3))
+        nrng = np.random.default_rng(1000 + frame_index)
+        lo = lo + nrng.normal(0.0, noise_sigma, lo.shape)
+        return np.clip(lo, 0, 255).astype(np.uint8)
+    sx = width / BASE_W
+    sy = height / BASE_H
+    fx, fy, cx, cy = FX * sx, FY * sy, CX * sx, CY * sy
+
+    u, v_pix = np.meshgrid(np.arange(width, dtype=np.float32),
+                           np.arange(height, dtype=np.float32))
+    d_cam = np.stack([(u - cx) / fx, (v_pix - cy) / fy,
+                      np.ones_like(u)], axis=-1).reshape(-1, 3)
+    d = d_cam @ R                                # rows ⋅ R = R^T d_cam (world)
+
+    n_px = d.shape[0]
+    zbuf = np.full(n_px, np.inf, np.float32)
+    shade = np.zeros(n_px, np.float32)
+    if light_dir is None:
+        light_dir = np.array([0.3, -0.8, 0.52], np.float32)
+    light_dir = light_dir / np.linalg.norm(light_dir)
+    # lighting varies over the sequence (exposure/illumination drift)
+    intensity = 1.0 + 0.15 * np.sin(2.0 * np.pi * frame_index / 90.0)
+
+    for s in surfaces:
+        n = np.cross(s.eu, s.ev)
+        n_hat = n / np.linalg.norm(n)
+        denom = d @ n
+        denom = np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+        t = ((s.p0 - c) @ n) / denom
+        h = c[None, :] + t[:, None] * d
+        rel = h - s.p0[None, :]
+        a = (rel @ s.eu) / float(s.eu @ s.eu)
+        b = (rel @ s.ev) / float(s.ev @ s.ev)
+        hit = (t > 0.05) & (t < zbuf) & (a >= 0) & (a <= 1) & (b >= 0) & (b <= 1)
+        if not hit.any():
+            continue
+        th, tw = s.texture.shape
+        ax = np.clip(a[hit] * (tw - 1), 0, tw - 1.001)
+        by = np.clip(b[hit] * (th - 1), 0, th - 1.001)
+        x0 = ax.astype(np.int32)
+        y0 = by.astype(np.int32)
+        wx = ax - x0
+        wy = by - y0
+        tex = s.texture
+        albedo = ((1 - wy) * ((1 - wx) * tex[y0, x0] + wx * tex[y0, x0 + 1])
+                  + wy * ((1 - wx) * tex[y0 + 1, x0] + wx * tex[y0 + 1, x0 + 1]))
+        lambert = 0.45 + 0.55 * abs(float(n_hat @ light_dir))
+        falloff = 1.0 / (1.0 + 0.012 * t[hit] ** 2)
+        zbuf[hit] = t[hit]
+        shade[hit] = albedo * lambert * falloff
+
+    img = shade.reshape(height, width) * intensity
+    # vignette
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
+    r2 = (((xx - cx) / (width / 2)) ** 2 + ((yy - cy) / (height / 2)) ** 2)
+    img = img * (1.0 - 0.25 * r2)
+    # sensor noise (deterministic per frame)
+    nrng = np.random.default_rng(1000 + frame_index)
+    img = 255.0 * np.clip(img, 0.0, 1.0) ** (1 / 1.8)
+    img = img + nrng.normal(0.0, noise_sigma, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def render_sequence(n_frames: int, width: int = BASE_W, height: int = BASE_H,
+                    seed: int = 7, fps: float = 30.0,
+                    supersample: int | None = None):
+    """Yield (image uint8 (H,W), timestamp, frame_id, R, c) along the
+    ground-truth trajectory. Supersampling defaults to 2× below 640-wide."""
+    if supersample is None:
+        supersample = 2 if width < BASE_W else 1
+    surfaces = build_scene(seed)
+    for i in range(n_frames):
+        R, c = trajectory_pose(i, n_frames)
+        img = render_frame(surfaces, R, c, width, height, frame_index=i,
+                           supersample=supersample)
+        yield img, i / fps, i, R, c
+
+
+# --------------------------------------------------------------------------- #
+# TUM sequence writer
+
+
+def _rot_to_quat_xyzw(R_cw: np.ndarray) -> np.ndarray:
+    """camera→world rotation to TUM quaternion (qx qy qz qw)."""
+    m = R_cw
+    tr = m[0, 0] + m[1, 1] + m[2, 2]
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        qw = 0.25 * s
+        qx = (m[2, 1] - m[1, 2]) / s
+        qy = (m[0, 2] - m[2, 0]) / s
+        qz = (m[1, 0] - m[0, 1]) / s
+    else:
+        i = int(np.argmax([m[0, 0], m[1, 1], m[2, 2]]))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(max(1.0 + m[i, i] - m[j, j] - m[k, k], 1e-12)) * 2
+        q = [0.0, 0.0, 0.0]
+        q[i] = 0.25 * s
+        q[j] = (m[j, i] + m[i, j]) / s
+        q[k] = (m[k, i] + m[i, k]) / s
+        qw = (m[k, j] - m[j, k]) / s
+        qx, qy, qz = q
+    return np.array([qx, qy, qz, qw])
+
+
+def write_tum_sequence(out_dir: str, n_frames: int, width: int, height: int,
+                       seed: int = 7, fps: float = 30.0) -> None:
+    import cv2
+
+    rgb_dir = os.path.join(out_dir, "rgb")
+    os.makedirs(rgb_dir, exist_ok=True)
+    rgb_lines = ["# color images", "# timestamp filename"]
+    gt_lines = ["# ground truth trajectory", "# timestamp tx ty tz qx qy qz qw"]
+    for img, ts, fid, R, c in render_sequence(n_frames, width, height, seed, fps):
+        name = f"rgb/{ts:.6f}.png"
+        cv2.imwrite(os.path.join(out_dir, name), img)
+        rgb_lines.append(f"{ts:.6f} {name}")
+        q = _rot_to_quat_xyzw(R.T)
+        gt_lines.append(f"{ts:.6f} {c[0]:.6f} {c[1]:.6f} {c[2]:.6f} "
+                        f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}")
+        if fid % 50 == 0:
+            print(f"rendered {fid + 1}/{n_frames}", file=sys.stderr)
+    with open(os.path.join(out_dir, "rgb.txt"), "w") as f:
+        f.write("\n".join(rgb_lines) + "\n")
+    with open(os.path.join(out_dir, "groundtruth.txt"), "w") as f:
+        f.write("\n".join(gt_lines) + "\n")
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("output", help="output sequence directory (TUM layout)")
+    p.add_argument("--frames", type=int, default=300)
+    p.add_argument("--width", type=int, default=BASE_W)
+    p.add_argument("--height", type=int, default=BASE_H)
+    p.add_argument("--seed", type=int, default=7)
+    args = p.parse_args(argv)
+    write_tum_sequence(args.output, args.frames, args.width, args.height,
+                       args.seed)
+    print(f"wrote {args.frames} frames -> {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -109,7 +109,7 @@ def adaptive_nms(
     rf = max_robustness - (val / denom) * rng
 
     global_max_r2 = (
-        ((maxx - minx).astype(jnp.float64 if False else jnp.float32))
+        ((maxx - minx).astype(jnp.float32))
         * (maxy - miny).astype(jnp.float32)
         / num_to_keep
     ).astype(jnp.int32)

@@ -149,24 +149,62 @@ def close_loop(
     ki: jax.Array,
     covis_theta: int = 15,
 ) -> MapState:
-    """Apply the loop: re-pose Ki's covisible set by the relative correction
-    and merge duplicated map points. (The subsequent global BA — run by the
-    caller — is what actually distributes the loop error, matching the
+    """Apply the loop as a SIMILARITY correction (rotation + translation +
+    scale) and merge duplicated map points. (The subsequent global BA — run
+    by the caller — distributes the residual loop error, matching the
     reference which runs a full global BA instead of a Sim3 pose graph,
-    SURVEY §2.2 BundlerLib note.)"""
+    SURVEY §2.2 BundlerLib note.)
+
+    The reference carries `SimilarityScale` = relocDepth/currDepth alongside
+    the unscaled transform (LoopClosureWorker.cpp:296-331) and relies on
+    per-keyframe re-estimation + global BA to absorb it; here the Sim(3) is
+    applied in closed form, which corrects monocular scale drift directly:
+
+      world similarity  x' = R_r^T (s (R_k x + t_k) - t_r)
+      keyframe poses    R_j' = R_j R_k^T R_r,
+                        t_j' = R_j R_k^T (t_r - s t_k) + s t_j
+
+    where (R_k, t_k) is Ki's drifted pose, (R_r, t_r) the relocalized pose,
+    s the depth-ratio scale. The anchor Ki lands exactly on the relocalized
+    pose; s = 1 reduces to the rigid correction. Points moved are those
+    observed by the moving covisible set and NOT already part of the loop
+    cluster (the loop region is the fixed datum, ORB-SLAM CorrectLoop
+    semantics); their dMin/dMax viewing ranges scale by s."""
     K, P, N = map_state.capacity
     covis = covisibility_matrix(map_state)
     move = ((covis[ki] >= covis_theta) | (jnp.arange(K) == ki)) & map_state.kf_valid
 
-    # relative correction: T_new = T_old ∘ T_ki⁻¹ ∘ T_reloc
-    T_ki = Pose(map_state.kf_pose.R[ki], map_state.kf_pose.t[ki])
-    corr = T_ki.inverse().compose(detection.reloc_pose)
-    moved = map_state.kf_pose.compose(corr)          # batched over K
+    s = detection.scale
+    R_k = map_state.kf_pose.R[ki]
+    t_k = map_state.kf_pose.t[ki]
+    R_r = detection.reloc_pose.R
+    t_r = detection.reloc_pose.t
+
+    # keyframe similarity correction (per keyframe j, batched over K)
+    corr_R = R_k.T @ R_r                                   # (3,3)
+    corr_v = R_k.T @ (t_r - s * t_k)                       # (3,)
+    R_new = jnp.einsum("kij,jl->kil", map_state.kf_pose.R, corr_R)
+    t_new = (jnp.einsum("kij,j->ki", map_state.kf_pose.R, corr_v)
+             + s * map_state.kf_pose.t)
     new_pose = Pose(
-        jnp.where(move[:, None, None], moved.R, map_state.kf_pose.R),
-        jnp.where(move[:, None], moved.t, map_state.kf_pose.t),
+        jnp.where(move[:, None, None], R_new, map_state.kf_pose.R),
+        jnp.where(move[:, None], t_new, map_state.kf_pose.t),
     )
-    map_state = map_state._replace(kf_pose=new_pose)
+
+    # map points owned by the moving set (and not by the loop cluster) follow
+    # the same similarity; loop-region points are the fixed datum
+    member = map_state.kf_member                           # (K, P) bool
+    seen_by_moved = jnp.any(member & move[:, None], axis=0)
+    seen_by_cluster = jnp.any(member & detection.cluster_mask[:, None], axis=0)
+    move_pt = map_state.mp_valid & seen_by_moved & jnp.logical_not(seen_by_cluster)
+    cam_k = s * (map_state.mp_pos @ R_k.T + t_k)           # (P, 3)
+    pos_new = (cam_k - t_r) @ R_r                          # rows ⋅ R_r = R_r^T x
+    map_state = map_state._replace(
+        kf_pose=new_pose,
+        mp_pos=jnp.where(move_pt[:, None], pos_new, map_state.mp_pos),
+        mp_dmin=jnp.where(move_pt, s * map_state.mp_dmin, map_state.mp_dmin),
+        mp_dmax=jnp.where(move_pt, s * map_state.mp_dmax, map_state.mp_dmax),
+    )
 
     # merge: Ki keypoints associated to BOTH an old local point and a cluster
     # point are duplicates — retarget local → cluster point

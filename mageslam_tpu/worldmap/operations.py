@@ -135,15 +135,20 @@ def merge_map_points(state: MapState, src: jax.Array, dst: jax.Array,
     safe = jnp.where(assoc >= 0, assoc, 0)
     new_assoc = jnp.where(assoc >= 0, redirect[safe], assoc)
 
-    # drop duplicates: if a row now contains dst twice, keep the first occurrence
+    # drop duplicates: a keyframe observes a point at most once. On conflict
+    # prefer keeping the pre-existing (unchanged) association and dropping the
+    # merged-in one; among equals, keep the lowest feature index.
     K, N = assoc.shape
     changed = new_assoc != assoc
-    # occurrence index of each value within its row (counts equal values before it)
     eq = (new_assoc[:, :, None] == new_assoc[:, None, :]) & (new_assoc[:, None, :] >= 0)
-    tri = jnp.tril(jnp.ones((N, N), bool), k=-1)
-    dup = jnp.any(eq & tri[None], axis=-1)           # (K, N): an earlier equal entry exists
-    # prefer dropping the changed (merged-in) association on conflict
-    new_assoc = jnp.where(dup & changed, INVALID, jnp.where(dup, INVALID, new_assoc))
+    tri = jnp.tril(jnp.ones((N, N), bool), k=-1)     # [i, j]: j < i
+    # entry i is dropped if an equal entry j is preferred: unchanged beats
+    # changed; ties broken by position
+    preferred = (changed[:, :, None] & jnp.logical_not(changed[:, None, :])) | (
+        (changed[:, :, None] == changed[:, None, :]) & tri[None]
+    )
+    dup = jnp.any(eq & preferred, axis=-1)           # (K, N)
+    new_assoc = jnp.where(dup, INVALID, new_assoc)
 
     mp_valid = state.mp_valid & ~jnp.zeros_like(state.mp_valid).at[srcs].max(
         want, mode="drop"

@@ -36,28 +36,32 @@ class TestComponents:
         assert labels[4] == K  # inactive
 
 
-def build_drifted_map(rng, drift=np.array([0.4, 0.1, 0.0], np.float32)):
+def build_drifted_map(rng, drift=np.array([0.4, 0.1, 0.0], np.float32),
+                      scale=1.0):
+    """Two copies of the same place: region A (truth) and region B drifted by
+    `drift` AND scaled by `scale` about the origin (monocular scale drift).
+    B's cameras scale with the map so B's projections match A's exactly."""
     n_pts = 40
     pts = np.stack([rng.uniform(-1.5, 1.5, n_pts), rng.uniform(-1, 1, n_pts),
                     rng.uniform(4, 7, n_pts)], 1).astype(np.float32)
     descs = rng.randint(0, 2**31, (n_pts, 8)).astype(np.uint32)
+    pts_b = (scale * pts + drift).astype(np.float32)
 
     m = empty_map(K_CAP, P_CAP, N_CAP)
-    # region A: points 0..n at true positions; region B: duplicates at +drift
     P2 = 2 * n_pts
     m = m._replace(
         mp_valid=m.mp_valid.at[:P2].set(True),
         mp_pos=m.mp_pos.at[:n_pts].set(jnp.asarray(pts))
-                       .at[n_pts:P2].set(jnp.asarray(pts + drift)),
+                       .at[n_pts:P2].set(jnp.asarray(pts_b)),
         mp_desc=m.mp_desc.at[:n_pts].set(jnp.asarray(descs))
                          .at[n_pts:P2].set(jnp.asarray(descs)),
-        mp_dmin=m.mp_dmin.at[:P2].set(0.5),
+        mp_dmin=m.mp_dmin.at[:P2].set(0.1),
         mp_dmax=m.mp_dmax.at[:P2].set(50.0),
         mp_mean_dir=m.mp_mean_dir.at[:P2, 2].set(1.0),
     )
 
-    def features(pose, offset):
-        Xc = np.array(pose.transform(jnp.asarray(pts + offset)))
+    def features(pose, world_pts):
+        Xc = np.array(pose.transform(jnp.asarray(world_pts)))
         uv = np.stack([300 * Xc[:, 0] / Xc[:, 2] + 160,
                        300 * Xc[:, 1] / Xc[:, 2] + 90], 1).astype(np.float32)
         xy = np.full((N_CAP, 2), -1e6, np.float32)
@@ -67,27 +71,29 @@ def build_drifted_map(rng, drift=np.array([0.4, 0.1, 0.0], np.float32)):
         return jnp.asarray(xy), jnp.asarray(d), jnp.arange(N_CAP) < n_pts
 
     poses_a = [Pose(jnp.eye(3), jnp.array([-0.08 * i, 0.0, 0.0])) for i in range(3)]
-    # region B keyframes: same viewpoints but DRIFTED (poses shifted with the map)
-    poses_b = [Pose(jnp.eye(3), jnp.array([-0.08 * i, 0.0, 0.0])
-                    - jnp.asarray(drift) * -1.0) for i in range(3)]
-    # note: world→camera t shifts by -R·drift for a camera moved by +drift
-    poses_b = [Pose(jnp.eye(3), p.t - jnp.asarray(drift)) for p in poses_a]
+    # region B keyframes: same viewpoints, drifted + scaled with the map.
+    # Camera center c_b = s·c_a + drift ⇒ t_b = s·t_a − R·drift (R = I here),
+    # which preserves the projections of the scaled points exactly.
+    poses_b = [Pose(jnp.eye(3), scale * p.t - jnp.asarray(drift, jnp.float32))
+               for p in poses_a]
 
     frames = []
     for i, p in enumerate(poses_a):
-        xy, d, valid = features(p, np.zeros(3, np.float32))
+        xy, d, valid = features(p, pts)
         assoc = jnp.where(jnp.arange(N_CAP) < n_pts,
                           jnp.arange(N_CAP, dtype=jnp.int32), -1)
         m, _ = insert_keyframe(m, p, CAM, jnp.int32(i), xy,
                                jnp.zeros((N_CAP,), jnp.int32), d, valid, assoc)
         frames.append((xy, d, valid, assoc, p))
     for i, p in enumerate(poses_b):
-        xy, d, valid = features(p, np.asarray(drift))
+        xy, d, valid = features(p, pts_b)
         assoc = jnp.where(jnp.arange(N_CAP) < n_pts,
                           jnp.arange(N_CAP, dtype=jnp.int32) + n_pts, -1)
         m, _ = insert_keyframe(m, p, CAM, jnp.int32(10 + i), xy,
                                jnp.zeros((N_CAP,), jnp.int32), d, valid, assoc)
         frames.append((xy, d, valid, assoc, p))
+    from mageslam_tpu.worldmap.map_state import refresh_membership
+    m = refresh_membership(m)
 
     # BoW over everything
     bow = empty_index(K_CAP, num_words=32)
@@ -135,6 +141,60 @@ class TestLoopClosure:
         assoc5 = np.array(m2.kf_assoc[5])
         merged = (assoc5 >= 0) & (assoc5 < n_pts)
         assert merged.sum() > n_pts * 0.8, merged.sum()
+
+    def test_close_corrects_scale_drift(self, rng):
+        """Monocular scale drift: region B is the same place scaled ×1.3 and
+        translated. Closing must apply the SIMILARITY (not just the rigid
+        part): keyframe baselines and surviving map points return to region
+        A's scale (LoopClosureWorker.cpp:296-374 similarity semantics)."""
+        drift = np.array([0.5, 0.15, 0.0], np.float32)
+        s_drift = 1.3
+        m, bow, frames, pts, descs, n_pts = build_drifted_map(
+            rng, drift, scale=s_drift)
+        xy, d, valid, assoc, pose = frames[5]
+        # only the first 30 keypoints valid in Ki's frame → points 30..40 of
+        # region B are never merge candidates and must survive as MOVED points
+        n_vis = 30
+        valid = valid & (jnp.arange(N_CAP) < n_vis)
+        assoc = jnp.where(valid, assoc, -1)
+        frame = TrackedFrame(
+            pose=pose, cam=CAM, kp_xy=xy,
+            kp_octave=jnp.zeros((N_CAP,), jnp.int32), desc=d, kp_valid=valid,
+            assoc=assoc, timestamp=np.float32(0.5), frame_id=np.int32(12),
+        )
+        det = detect_loop(
+            m, bow, frame, jnp.int32(5), jax.random.PRNGKey(3),
+            min_keyframes=5, min_cluster_size=2,
+        )
+        assert bool(det.detected), "loop not detected under scale drift"
+        # depth-ratio scale ≈ 1/s_drift
+        assert abs(float(det.scale) - 1.0 / s_drift) < 0.06, float(det.scale)
+
+        # pre-closure scale error: B keyframe baseline is s_drift × truth
+        c_pre = np.array(m.kf_pose.center())
+        base_pre = np.linalg.norm(c_pre[3] - c_pre[4])
+        assert abs(base_pre - s_drift * 0.08) < 1e-3
+
+        m2 = close_loop(m, det, frame, jnp.int32(5))
+        # post-closure: baselines at region A scale, poses at region A places
+        c_post = np.array(m2.kf_pose.center())
+        base_post = np.linalg.norm(c_post[3] - c_post[4])
+        assert abs(base_post - 0.08) < 0.08 * 0.05, base_post
+        true_pose = frames[2][4]
+        np.testing.assert_allclose(np.array(m2.kf_pose.t[5]),
+                                   np.array(true_pose.t), atol=3e-2)
+        # surviving moved points land on region A positions
+        mp_pos = np.array(m2.mp_pos)
+        mp_valid = np.array(m2.mp_valid)
+        moved = [j for j in range(n_pts) if mp_valid[n_pts + j]]
+        assert moved, "expected some unmerged region-B points"
+        err = np.linalg.norm(
+            np.stack([mp_pos[n_pts + j] - pts[j] for j in moved]), axis=1)
+        assert float(err.max()) < 0.05, err.max()
+        # dMin/dMax rescaled
+        np.testing.assert_allclose(
+            np.array(m2.mp_dmin)[n_pts:2 * n_pts][np.array(moved)],
+            0.1 / s_drift, rtol=0.06)
 
     def test_no_loop_without_candidates(self, rng):
         m, bow, frames, pts, descs, n_pts = build_drifted_map(rng)

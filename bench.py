@@ -75,11 +75,56 @@ def render(pts, patches, t):
     return img
 
 
+def onchip_selfchecks():
+    """Correctness asserts ON THE REAL CHIP before timing (VERDICT r1 #10 /
+    ADVICE r1 approx-topk): the Pallas Hamming kernel against the SWAR
+    reference path, and approx_max_k candidate selection against exact
+    top_k — both only take their fast form on TPU, so CI (forced-CPU) never
+    exercises them where they run."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+    from mageslam_tpu.ops.matching import popcount_u32
+
+    if jax.default_backend() != "tpu":
+        return
+    from mageslam_tpu.ops.pallas_kernels import hamming_matrix_pallas
+
+    rng = np.random.RandomState(3)
+    a = jnp.asarray(rng.randint(0, 2**31, (512, 8)).astype(np.uint32))
+    b = jnp.asarray(rng.randint(0, 2**31, (448, 8)).astype(np.uint32))
+
+    @jax.jit
+    def both(a, b):
+        swar = jnp.sum(popcount_u32(a[:, None, :] ^ b[None, :, :]), axis=-1)
+        return hamming_matrix_pallas(a, b), swar
+
+    d_pallas, d_swar = jax.device_get(both(a, b))
+    assert (d_pallas == d_swar).all(), \
+        f"pallas/SWAR mismatch: {np.abs(d_pallas - d_swar).max()}"
+
+    scores = jnp.asarray(rng.rand(480 * 640).astype(np.float32))
+
+    @jax.jit
+    def topk(s):
+        _, exact = jax.lax.top_k(s, 512)
+        _, approx = jax.lax.approx_max_k(s, 512, recall_target=0.99)
+        return exact, approx
+
+    exact, approx = jax.device_get(topk(scores))
+    recall = len(set(exact.tolist()) & set(approx.tolist())) / 512.0
+    assert recall >= 0.97, f"approx_max_k recall {recall}"
+    print(f"onchip selfchecks ok (pallas exact, approx topk recall "
+          f"{recall:.3f})", file=sys.stderr)
+
+
 def main():
     import jax
     import jax.numpy as jnp
     from mageslam_tpu.runtime import SlamSession, TrackingState
 
+    onchip_selfchecks()
     rng = np.random.RandomState(7)
     pts, patches = build_world(rng)
     bank = jax.device_put(jnp.asarray(np.stack(
@@ -97,7 +142,10 @@ def main():
     sess._pipeline_depth = 32
     # resolve chunks in groups of 4: ONE device->host round trip per 64
     # frames (a fetch through the remote relay costs ~50 ms regardless of
-    # size; locally-attached deployments would use depth 1-2)
+    # size). Depth does NOT delay mapping: keyframe mapping runs in-scan on
+    # device at the triggering frame (pipeline._scan_frame_body) — tighter
+    # than the reference's MaxPendingKeyframes=4 backlog; resolution only
+    # surfaces results and runs BoW adds / loop-closure attempts
     sess._chunk_pipeline_depth = 4
 
     CHUNK = 32

@@ -87,6 +87,38 @@ def add_keyframe(index: BowIndex, slot: jax.Array, desc: jax.Array,
     )
 
 
+def retrain_index(
+    index: BowIndex,
+    pool_desc: jax.Array,      # (M, 8) uint32 accumulated training descriptors
+    pool_valid: jax.Array,     # (M,) bool
+    kf_desc: jax.Array,        # (K, N, 8) keyframe descriptor bank
+    kf_kp_valid: jax.Array,    # (K, N) bool
+    kf_has: jax.Array,         # (K,) bool — keyframes currently indexed
+    key: jax.Array,
+    iterations: int = 12,
+) -> BowIndex:
+    """Online vocabulary (re)training from the full accumulated pool
+    (OnlineBow::CreateVocabularyTree, OnlineBow.cpp:454-587: the reference
+    accumulates descriptors over the first TrainingFrames=15 frames —
+    ≥MinTrainingSize — then trains once). Every indexed keyframe's histogram
+    is recomputed under the new vocabulary, the analogue of the reference
+    building its inverted index after training. One jitted dispatch."""
+    from .vocab import train_vocabulary
+
+    anchors = train_vocabulary(pool_desc, pool_valid, key,
+                               num_words=index.num_words,
+                               iterations=iterations)
+    index = index._replace(anchors=anchors, trained=jnp.asarray(True))
+    index = compute_idf(index, pool_desc, pool_valid)
+    vecs = jax.vmap(lambda d, v: image_vector(index, d, v))(
+        kf_desc, kf_kp_valid)
+    return index._replace(
+        kf_vectors=jnp.where(kf_has[:, None], vecs, index.kf_vectors))
+
+
+retrain_index_jit = jax.jit(retrain_index, static_argnames=("iterations",))
+
+
 def remove_keyframes(index: BowIndex, removed: jax.Array) -> BowIndex:
     """Drop culled keyframes from the index."""
     return index._replace(kf_has=index.kf_has & jnp.logical_not(removed))

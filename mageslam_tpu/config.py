@@ -419,6 +419,7 @@ class Budgets:
     BaPointChunk: int = 512         # lax.scan chunk for Schur accumulation
     MaxInitFrames: int = 4          # mono-init frame accumulator capacity
     RansacBatch: int = 128          # batched RANSAC hypothesis count (>= 90 reference iters)
+    MaxTethers: int = 16            # persistent keyframe tether bank (Data/Tether.h)
 
 
 @dataclass(frozen=True)

@@ -129,9 +129,16 @@ def _kalman(state: EkfState, H: jax.Array, r: jax.Array, Rm: jax.Array) -> EkfSt
 
 
 def ekf_update_pose(state: EkfState, visual_pose: Pose,
-                    pos_noise: float = 1e-2, rot_noise: float = 1e-2) -> EkfState:
+                    pos_noise: float = 1e-2, rot_noise: float = 1e-2,
+                    pose_cov: jax.Array | None = None) -> EkfState:
     """Visual pose update: world→camera pose observation (camera ≡ body).
-    Measurement: body position p_m = camera center, attitude R_m = R_wcᵀ."""
+    Measurement: body position p_m = camera center, attitude R_m = R_wcᵀ.
+
+    pose_cov, when given, is the (6, 6) reprojection-derived covariance in
+    [rho(3), phi(3)] twist order (fuser.covariance.estimate_pose_covariance
+    ↔ Fuser::EstimatePoseCovariance, Fuser.h:51-75); its blocks are permuted
+    into the filter's [attitude, position] measurement order and floored by
+    the scalar noise defaults."""
     p_m = visual_pose.center()
     R_m = jnp.swapaxes(visual_pose.R, -1, -2)       # body→world
     R = quat_to_rot(state.q)
@@ -143,8 +150,32 @@ def ekf_update_pose(state: EkfState, visual_pose: Pose,
     H = jnp.zeros((6, 15))
     H = H.at[0:3, 0:3].set(jnp.eye(3))
     H = H.at[3:6, 3:6].set(jnp.eye(3))
-    Rm = jnp.diag(jnp.concatenate([
+    floor = jnp.diag(jnp.concatenate([
         jnp.full((3,), rot_noise**2), jnp.full((3,), pos_noise**2)]))
+    if pose_cov is None:
+        Rm = floor
+    else:
+        perm = jnp.array([3, 4, 5, 0, 1, 2])        # [rho,phi] → [att,pos]
+        Rm = pose_cov[perm][:, perm] + floor
+    return _kalman(state, H, r, Rm)
+
+
+def ekf_update_rotation(state: EkfState, visual_pose: Pose,
+                        rot_noise: float = 1e-2,
+                        rot_cov: jax.Array | None = None) -> EkfState:
+    """3DoF visual update: attitude only (SensorFilter3Dof::
+    AddVisualRotationUpdate, SensorFilter.h:99-112) — position states are
+    untouched, for the VISUAL_INERTIAL_FUSION_WITH_3DOF filter mode."""
+    R_m = jnp.swapaxes(visual_pose.R, -1, -2)
+    R = quat_to_rot(state.q)
+    dR = R.T @ R_m
+    r = 0.5 * jnp.array([dR[2, 1] - dR[1, 2], dR[0, 2] - dR[2, 0],
+                         dR[1, 0] - dR[0, 1]])
+    H = jnp.zeros((3, 15))
+    H = H.at[0:3, 0:3].set(jnp.eye(3))
+    Rm = jnp.eye(3) * rot_noise**2
+    if rot_cov is not None:
+        Rm = rot_cov + Rm
     return _kalman(state, H, r, Rm)
 
 

@@ -29,6 +29,7 @@ from .filters import (
     ekf_predict,
     ekf_update_gravity,
     ekf_update_pose,
+    ekf_update_rotation,
     pose_from_state,
 )
 from .sample_queue import SampleQueue, SampleType, SensorSample
@@ -43,12 +44,24 @@ class FuserMode(enum.Enum):
 
 class Fuser:
     def __init__(self, gravity_converge_var: float = 1e-3,
-                 scale_window: int = 10):
+                 scale_window: int = 10, filter_type=None):
+        """filter_type selects the sensor filter (config.FilterType ↔
+        SensorFilter3Dof/6Dof/Simple6Dof, SensorFilter.h:99-157):
+          FUSER3DOF  — attitude-only: gravity + visual ROTATION updates, no
+                       scale estimation, rotation-only priors
+          FUSER6DOF  — the full error-state EKF (default)
+          SIMPLE6DOF — 6DoF propagation with the IMU bias states frozen
+                       (the internal SimpleIMUFilter's reduced model)
+        """
+        from ..config import FilterType
+
         self.queue = SampleQueue()
         self.state = ekf_init()
         self.mode = FuserMode.WAIT_FOR_MAGE_INIT
         self.gravity_converge_var = gravity_converge_var
         self.scale_window = scale_window
+        self.filter_type = (FilterType.FUSER6DOF if filter_type is None
+                            else filter_type)
         self._scale_pairs: list[tuple[float, float]] = []
         self.metric_scale: float | None = None
         self._last_time: float | None = None
@@ -64,9 +77,15 @@ class Fuser:
         self.queue.add(sample)
 
     # -- per-frame processing -------------------------------------------- #
-    def process_frame(self, visual_pose: Pose | None, timestamp: float) -> None:
+    def process_frame(self, visual_pose: Pose | None, timestamp: float,
+                      pose_covariance=None) -> None:
         """Consume inertial samples up to this frame's fence, then apply the
-        visual update according to the current mode."""
+        visual update according to the current mode. `pose_covariance` is
+        the optional (6, 6) reprojection-derived covariance in [rho, phi]
+        order (fuser.covariance ↔ Fuser::EstimatePoseCovariance) weighting
+        the visual update."""
+        from ..config import FilterType
+
         self.queue.add_image_fence(timestamp)
         samples, fence = self.queue.drain_until_fence()
 
@@ -82,6 +101,10 @@ class Fuser:
                     self.state = ekf_predict(
                         self.state, jnp.asarray(gyro), jnp.asarray(accel),
                         jnp.float32(dt))
+                    if self.filter_type == FilterType.SIMPLE6DOF:
+                        # SimpleIMUFilter: no online bias estimation
+                        self.state = self.state._replace(
+                            bg=jnp.zeros(3), ba=jnp.zeros(3))
                 if self.mode == FuserMode.WAIT_FOR_GRAVITY:
                     self.state = ekf_update_gravity(self.state, jnp.asarray(accel))
 
@@ -90,10 +113,24 @@ class Fuser:
             # observable attitude axes (smallest covariance eigenvalues)
             eig = np.sort(np.linalg.eigvalsh(np.asarray(self.state.P[0:3, 0:3])))
             if float(eig[0] + eig[1]) < self.gravity_converge_var:
-                self.mode = FuserMode.SCALE_INIT
+                # 3DoF mode never estimates metric scale — it provides
+                # rotation-only fusion (SensorFilter3Dof)
+                if self.filter_type == FilterType.FUSER3DOF:
+                    self.mode = FuserMode.TRACKING
+                else:
+                    self.mode = FuserMode.SCALE_INIT
             return
 
         if visual_pose is None:
+            return
+
+        cov = None if pose_covariance is None else jnp.asarray(pose_covariance)
+        if self.filter_type == FilterType.FUSER3DOF:
+            if self.mode == FuserMode.TRACKING:
+                rot_cov = None if cov is None else cov[3:, 3:]
+                self.state = ekf_update_rotation(self.state, visual_pose,
+                                                 rot_cov=rot_cov)
+                self._last_visual_center = np.asarray(visual_pose.center())
             return
 
         center = np.asarray(visual_pose.center())
@@ -116,12 +153,28 @@ class Fuser:
             # scale the visual pose into metric units before the EKF update
             s = self.metric_scale or 1.0
             metric = Pose(visual_pose.R, visual_pose.t * s)
-            self.state = ekf_update_pose(self.state, metric)
+            metric_cov = None
+            if cov is not None:
+                metric_cov = cov.at[:3, :].mul(s).at[:, :3].mul(s)
+            self.state = ekf_update_pose(self.state, metric,
+                                         pose_cov=metric_cov)
 
     # -- outputs ---------------------------------------------------------- #
     def pose_prior(self) -> Pose | None:
-        """IMU-predicted pose prior in VISUAL map units (IMUPosePriorProvider)."""
-        if self.mode != FuserMode.TRACKING or self.metric_scale is None:
+        """IMU-predicted pose prior in VISUAL map units (IMUPosePriorProvider).
+        In 3DoF mode the prior is rotation-only (position held at the last
+        visual center — the caller's motion model supplies translation)."""
+        from ..config import FilterType
+
+        if self.mode != FuserMode.TRACKING:
+            return None
+        if self.filter_type == FilterType.FUSER3DOF:
+            metric = pose_from_state(self.state)
+            c = (self._last_visual_center if self._last_visual_center
+                 is not None else np.zeros(3))
+            t = -metric.R @ jnp.asarray(c, jnp.float32)
+            return Pose(metric.R, t)
+        if self.metric_scale is None:
             return None
         metric = pose_from_state(self.state)
         inv_s = 1.0 / self.metric_scale

@@ -88,6 +88,7 @@ class SlamSession:
                  cam: jax.Array | None = None,
                  image_width: int = 320, image_height: int = 180,
                  seed: int = 1234,
+                 camera: jax.Array | None = None,
                  metrics=None, introspection=None, determinator=None):
         # optional diagnostics (diagnostics.MetricChannels / Introspection /
         # Determinator) — None keeps the hot path free of host readbacks,
@@ -100,16 +101,46 @@ class SlamSession:
         self.fes = self.settings.MonoSettings.MonoCamera.FeatureExtractorSettings
         self.width = image_width
         self.height = image_height
-        # undistorted pinhole intrinsics (4,) used for matching/BA space
-        self.cam = cam if cam is not None else jnp.array(
-            [image_width * 0.82, image_width * 0.82,
-             image_width / 2.0, image_height / 2.0], jnp.float32)
-        self.cam16 = jnp.zeros((16,), jnp.float32).at[0].set(self.cam[0]) \
-            .at[1].set(self.cam[1]).at[2].set(self.cam[2]).at[3].set(self.cam[3]) \
-            .at[12].set(image_width).at[13].set(image_height)
+        # full camera model support (Poly3K/Rational6K — Data.h:174-330):
+        # `camera` is a (16,) geometry.camera parameter vector. With
+        # UndistortImagePixels the whole image is warped to the undistorted
+        # pinhole before analysis (ImageAnalyzer.cpp:26-51 via
+        # ImagePreprocessor::UndistortImage); otherwise the frontend
+        # undistorts keypoints only (the reference default).
+        self._undistort_pixels = False
+        self._raw_cam16 = None
+        if camera is not None:
+            from ..ops.undistort import undistorted_calibration
+
+            per_cam = self.settings.MonoSettings.MonoCamera
+            camera = jnp.asarray(camera, jnp.float32)
+            distorted = float(camera[14]) != 0.0
+            if distorted and per_cam.UndistortImagePixels:
+                self._undistort_pixels = True
+                self._raw_cam16 = camera
+                self.cam16 = undistorted_calibration(camera)
+            else:
+                self.cam16 = camera
+            if cam is not None:
+                self.cam = cam
+            elif distorted:
+                # matching/BA run in the undistorted pinhole space
+                self.cam = undistorted_calibration(camera)[:4]
+            else:
+                self.cam = camera[:4]
+        else:
+            # undistorted pinhole intrinsics (4,) used for matching/BA space
+            self.cam = cam if cam is not None else jnp.array(
+                [image_width * 0.82, image_width * 0.82,
+                 image_width / 2.0, image_height / 2.0], jnp.float32)
+            self.cam16 = jnp.zeros((16,), jnp.float32).at[0].set(self.cam[0]) \
+                .at[1].set(self.cam[1]).at[2].set(self.cam[2]) \
+                .at[3].set(self.cam[3]) \
+                .at[12].set(image_width).at[13].set(image_height)
 
         self.N = b.MaxFeatures
-        self.map = empty_map(b.MaxKeyframes, b.MaxMapPoints, self.N)
+        self.map = empty_map(b.MaxKeyframes, b.MaxMapPoints, self.N,
+                             max_tethers=b.MaxTethers)
         self.history = TrackingHistory.empty(b.TrackingHistoryLength, self.N)
         self.pose_history = PoseHistory.empty(
             4096, connections=self.settings.PoseHistorySettings
@@ -118,12 +149,23 @@ class SlamSession:
 
         self.bow = empty_index(b.MaxKeyframes,
                                num_words=64)
+        # online BoW training pool: descriptors accumulate over the first
+        # TrainingFrames frames, then the vocabulary retrains ONCE and all
+        # keyframe histograms are recomputed (OnlineBow.cpp:454-587,
+        # ImageAnalyzer.cpp:249-252 — the init-time 2-frame vocabulary is
+        # provisional until then)
+        self._bow_pool: list = []
+        self._bow_retrained = False
         # visual-inertial path (FuserSettings.UseFuser; golden path = False)
         self.fuser = None
         if self.settings.FuserSettings.UseFuser:
             from ..fuser import Fuser
 
-            self.fuser = Fuser()
+            # FilterType-driven sensor-filter selection (MageSettings.h:285,
+            # SensorFilter.h:99-157: 3Dof / 6Dof / Simple6Dof)
+            self.fuser = Fuser(
+                filter_type=self.settings.FuserSettings.FilterType)
+        self._pose_cov_core = None
         self._track_core = self._build_track_core()
         self._post_core = self._build_post_core()
         self._mapping_core = self._build_mapping_core()
@@ -137,13 +179,19 @@ class SlamSession:
         self._chunk_cores: dict[int, object] = {}  # chunk size -> jitted core
         self._pending_chunks: list = []
         self._chunk_slicer = None
+        # device-resident (fsk, fsr) scalars threaded between chunk
+        # dispatches; None = reseed from the host ints
+        self._dev_counters = None
         self._stream_cores: dict[int, object] = {}
         # mapping offload (enable_mapping_offload): None = sync mapping
         self._mapping_device = None
         self._offload_core = None
         self._offload_pending = None
-        # chunks in flight before resolving (keyframe/mapping lag bound;
-        # >1 hides the dispatch+fetch round trips behind device compute)
+        # chunks in flight before resolving (>1 hides the dispatch+fetch
+        # round trips behind device compute). Mapping does NOT lag with
+        # depth: it runs in-scan on device at the triggering frame
+        # (_scan_frame_body); depth only delays host-visible results, BoW
+        # index adds and loop-closure attempts
         self._chunk_pipeline_depth = 2
 
         self.initialized = False
@@ -164,12 +212,25 @@ class SlamSession:
         if self.fuser is not None:
             self.fuser.add_sample(sample)
 
+    def _preprocess_image(self, image: jax.Array) -> jax.Array:
+        """Dense undistortion when UndistortImagePixels is set (traced — a
+        plain passthrough otherwise, so the pinhole path pays nothing)."""
+        if not self._undistort_pixels:
+            return image
+        from ..ops.undistort import undistort_image
+
+        img, _ = undistort_image(image, self._raw_cam16)
+        return img
+
     def process_frame(self, image: np.ndarray | jax.Array,
                       timestamp: float, frame_id: int) -> FrameResult:
         """Analyze + track one grayscale frame (H, W) float32 [0,255]."""
-        feats = detect_and_compute(
-            jnp.asarray(image, jnp.float32), self.cam16, self.fes, self.N
-        )
+        image = jnp.asarray(image, jnp.float32)
+        if self._undistort_pixels:
+            if not hasattr(self, "_undistort_jit"):
+                self._undistort_jit = jax.jit(self._preprocess_image)
+            image = self._undistort_jit(image)
+        feats = detect_and_compute(image, self.cam16, self.fes, self.N)
         return self.process_features(feats, timestamp, frame_id)
 
     def process_features_pipelined(self, feats: FrameFeatures, timestamp: float,
@@ -230,15 +291,40 @@ class SlamSession:
         return self._resolve_pending()
 
     def process_stereo_frames(self, image0, image1, frame0_to_frame1: Pose,
-                              timestamp: float, frame_id: int) -> FrameResult:
+                              timestamp: float, frame_id: int,
+                              camera1: jax.Array | None = None) -> FrameResult:
         """MAGESlam::ProcessStereoFrames (MageSlam.cpp:192): analyze both
-        grayscale frames and run the stereo path. Assumes both frames share
-        the session calibration (the reference rescales frame 2 to frame 1's
-        calibration before analysis, ImageAnalyzer.cpp:131-240)."""
-        f0 = detect_and_compute(jnp.asarray(image0, jnp.float32), self.cam16,
-                                self.fes, self.N)
-        f1 = detect_and_compute(jnp.asarray(image1, jnp.float32), self.cam16,
-                                self.fes, self.N)
+        grayscale frames and run the stereo path. When `camera1` (the
+        secondary camera's (16,) model) is given and differs from the
+        primary, frame 2 is resized to the primary's angular resolution with
+        its intrinsics scaled to match — the reference's stereo rescale
+        (ImageAnalyzer.cpp:131-240 via
+        ImagePreprocessor::ScaleImageForCameraConfiguration); otherwise both
+        frames share the session calibration."""
+        img0 = jnp.asarray(image0, jnp.float32)
+        img1 = jnp.asarray(image1, jnp.float32)
+        cam1_16 = self.cam16
+        if camera1 is not None:
+            from ..ops.undistort import (rescale_image,
+                                         scale_for_camera_configuration)
+
+            cam1_16 = jnp.asarray(camera1, jnp.float32)
+            max_depth = (self.settings.StereoSettings
+                         .StereoMapInitializationSettings.MaxDepthMeters)
+            scale, overlap_ok = scale_for_camera_configuration(
+                cam1_16, self.cam16, frame0_to_frame1, max_depth)
+            s = float(scale)
+            if not bool(overlap_ok):
+                result = FrameResult(frame_id, TrackingState.INITIALIZING,
+                                     None, 0, False)
+                self.results.append(result)
+                return result
+            if abs(s - 1.0) > 1e-3:
+                img1 = rescale_image(img1, s, self.height, self.width)
+                cam1_16 = cam1_16.at[:4].mul(s).at[12].set(self.width) \
+                    .at[13].set(self.height)
+        f0 = detect_and_compute(img0, self.cam16, self.fes, self.N)
+        f1 = detect_and_compute(img1, cam1_16, self.fes, self.N)
         return self.process_stereo_features(f0, f1, frame0_to_frame1,
                                             timestamp, frame_id)
 
@@ -275,6 +361,20 @@ class SlamSession:
                 self.prev_features = feats0
                 self.prev_meta = (frame_id, timestamp)
                 self._adopt_initialization(res, feats1, timestamp, frame_id)
+                # persist the rig EXTRINSIC tether so every subsequent BA
+                # window constrains the pair (Data/Tether.h:12-68,
+                # BundleAdjust.cpp:57-113) — not just the one-shot init BA
+                from ..ba.problem import TETHER_TRANSFORM
+                from ..worldmap.operations import add_keyframe_tether
+
+                baseline = float(jnp.linalg.norm(frame0_to_frame1.t))
+                rig = Pose(frame0_to_frame1.R,
+                           frame0_to_frame1.t / max(baseline, 1e-5))
+                self.map = add_keyframe_tether(
+                    self.map, owner=jnp.int32(1), origin=jnp.int32(0),
+                    kind=jnp.int32(TETHER_TRANSFORM), pose=rig,
+                    weight=jnp.float32(ss.InitializationTetherStrength),
+                )
                 result = FrameResult(
                     frame_id, TrackingState.TRACKING,
                     Pose(self.map.kf_pose.R[1], self.map.kf_pose.t[1]),
@@ -286,8 +386,38 @@ class SlamSession:
             return result
         return self.process_features(feats0, timestamp, frame_id)
 
+    def _accumulate_bow_training(self, desc: jax.Array, valid: jax.Array):
+        """Feed one frame's descriptors to the training pool and retrain the
+        vocabulary once the reference's gate is met (TrainingFrames frames
+        AND ≥ MinTrainingSize descriptors; keeps accumulating a few more
+        frames if the pool is still thin — OnlineBow.cpp:454-471)."""
+        bw = self.settings.BagOfWordsSettings
+        if self._bow_retrained or len(self._bow_pool) >= 3 * bw.TrainingFrames:
+            return
+        self._bow_pool.append((desc, valid))
+        if not self.initialized or len(self._bow_pool) < bw.TrainingFrames:
+            return
+        pool_d = jnp.concatenate([d for d, _ in self._bow_pool])
+        pool_v = jnp.concatenate([v for _, v in self._bow_pool])
+        n_valid = int(jnp.sum(pool_v))     # one host sync, once per attempt
+        if n_valid < bw.MinTrainingSize and \
+                len(self._bow_pool) < 2 * bw.TrainingFrames:
+            return                          # thin pool — keep accumulating
+        from ..bow.index import retrain_index_jit
+
+        self.key, sub = jax.random.split(self.key)
+        self.bow = retrain_index_jit(
+            self.bow, pool_d, pool_v,
+            self.map.kf_desc, self.map.kf_kp_valid,
+            self.bow.kf_has & self.map.kf_valid, sub,
+            iterations=bw.MaxTrainingIteration,
+        )
+        self._bow_retrained = True
+        self._bow_pool = []
+
     def process_features(self, feats: FrameFeatures, timestamp: float,
                          frame_id: int) -> FrameResult:
+        self._accumulate_bow_training(feats.desc, feats.valid)
         if not self.initialized:
             result = self._try_initialize(feats, timestamp, frame_id)
         elif self.lost_count >= \
@@ -299,6 +429,17 @@ class SlamSession:
         return result
 
     # ------------------------------------------------------------------ #
+    def _det_check(self, name: str, *trees) -> None:
+        """DETERMINISTIC_CHECK site (arcana/analysis/determinator.h:16-61).
+        The reference CRCs intermediate state at ~40 callsites across its
+        workers (PoseEstimationWorker.cpp:46,81-85, TrackLocalMap.cpp:107,
+        282, MappingWorker.cpp:247-250,349-352, InitializationWorker.cpp:55,
+        63); here the host-gated sync paths checkpoint the equivalent stage
+        outputs. No-op (zero device fetches) unless a Determinator is
+        attached — the analogue of the reference's debug-only macro."""
+        if self.determinator is not None:
+            self.determinator.check(name, *trees)
+
     def _frame(self, feats: FrameFeatures, pose: Pose, timestamp, frame_id,
                assoc=None) -> TrackedFrame:
         return TrackedFrame(
@@ -353,6 +494,8 @@ class SlamSession:
                         ba_iters=ms.ExtraFrame_BundleAdjustmentSteps,
                     ))
                 if ok:
+                    self._det_check("Init.Accepted", res.pose2,
+                                    res.point_valid, res.points)
                     self._adopt_initialization(res, feats, timestamp, frame_id)
         # anchor management (MapInitialization frame accumulator semantics:
         # hold the anchor while the pair interval grows toward the max window —
@@ -444,6 +587,9 @@ class SlamSession:
         self.bow = bow_add_keyframe(self.bow, jnp.int32(0), prev.desc, prev.valid)
         self.bow = bow_add_keyframe(self.bow, jnp.int32(1), feats.desc, feats.valid)
 
+        self._det_check("Init.Adopt.Map", self.map.kf_pose, self.map.kf_valid,
+                        self.map.mp_valid, self.map.mp_pos)
+        self._det_check("Init.Adopt.Bow", self.bow.anchors, self.bow.idf)
         self.initialized = True
         self.lost_count = 0
         self.frames_since_keyframe = 0
@@ -667,7 +813,8 @@ class SlamSession:
 
         def frame_step(map_state, history, pose_history, image,
                        timestamp, frame_id, fsk, fsr, prior, prior_valid):
-            feats = detect_and_compute(image, cam16, fes, N)
+            feats = detect_and_compute(self._preprocess_image(image),
+                                       cam16, fes, N)
             frame = TrackedFrame(
                 pose=Pose.identity(), cam=cam,
                 kp_xy=feats.und_xy, kp_octave=feats.octave, desc=feats.desc,
@@ -691,53 +838,88 @@ class SlamSession:
 
         return jax.jit(frame_step)
 
+    def _scan_frame_body(self, carry, image, timestamp, frame_id, map_scale):
+        """Shared scan body for the chunk/stream cores: ONE frame =
+        frontend + tracking fast path + bookkeeping + IN-SCAN MAPPING.
+
+        When the keyframe decision fires, the full per-keyframe mapping
+        schedule (insert → cull points → new points → local BA → cull
+        keyframes → pose-history rebase) runs immediately, on-device, behind
+        a lax.cond — the keyframe's map is live for the very next frame of
+        the scan. This is STRICTLY TIGHTER than the reference's semantics
+        (keyframes queue up to MaxPendingKeyframes=4 frames behind tracking,
+        MageSettings.h:255, Runtime.cpp:357-365): mapping lag is zero
+        regardless of chunk size or resolution depth. Chunk resolution is
+        left with host-only work: result surfacing, BoW index adds
+        (async in the reference too, MappingWorker.cpp:187-192), and
+        loop-closure attempts.
+
+        carry = (map, history, pose_history, frames_since_keyframe,
+        frames_since_reloc); the counters live ON DEVICE across frames and
+        chunks, so they never go stale against host bookkeeping. fsk resets
+        when mapping ACCEPTS the keyframe (bank not full), and both counters
+        freeze on tracking-failed frames — the host per-frame semantics."""
+        m, h, ph, fsk, fsr = carry
+        image = self._preprocess_image(image)
+        feats = detect_and_compute(image, self.cam16, self.fes, self.N)
+        frame = TrackedFrame(
+            pose=Pose.identity(), cam=self.cam,
+            kp_xy=feats.und_xy, kp_octave=feats.octave, desc=feats.desc,
+            kp_valid=feats.valid,
+            assoc=jnp.full((self.N,), -1, jnp.int32),
+            timestamp=timestamp, frame_id=frame_id,
+        )
+        res = self._track_fn(m, h, frame, Pose.identity(), jnp.asarray(False))
+        m2, h2, ph2, is_kf = self._post_fn(
+            m, h, ph, res.frame, res.found_delta, res.predicted_delta,
+            fsk + 1, jnp.minimum(fsr + 1, 10_000))
+        gate = res.succeeded
+        pick = lambda new, old: jax.tree.map(
+            lambda a, c: jnp.where(jnp.reshape(gate, (1,) * a.ndim), a, c),
+            new, old)
+        m, h, ph = pick(m2, m), pick(h2, h), pick(ph2, ph)
+
+        def do_map(args):
+            mm, pph = args
+            return self._mapping_fn(mm, pph, res.frame, map_scale)
+
+        m, ph, ki = jax.lax.cond(
+            is_kf & gate, do_map,
+            lambda args: (args[0], args[1], jnp.int32(-1)), (m, ph))
+        accepted = ki >= 0
+        fsk = jnp.where(gate, jnp.where(accepted, 0, fsk + 1), fsk)
+        fsr = jnp.where(gate, jnp.minimum(fsr + 1, 10_000), fsr)
+        flags = jnp.stack([
+            gate.astype(jnp.int32), res.tracked_count,
+            accepted.astype(jnp.int32)])
+        return (m, h, ph, fsk, fsr), (res.frame, flags, ki)
+
+    @staticmethod
+    def _chunk_summary(frames_out, flags, kis, fsks):
+        """(C, 17) per-frame summary: flags(3) + R(9) + t(3) + keyframe
+        slot(1) + frames_since_keyframe-after(1) — ONE device→host
+        fetch per chunk (per-buffer fetches are one relay round trip EACH
+        through a remote TPU attachment)."""
+        C = flags.shape[0]
+        return jnp.concatenate([
+            flags.astype(jnp.float32),
+            frames_out.pose.R.reshape(C, 9),
+            frames_out.pose.t.reshape(C, 3),
+            kis.astype(jnp.float32)[:, None],
+            fsks.astype(jnp.float32)[:, None],
+        ], axis=1)
+
     def _build_chunk_core(self, chunk: int):
         """CHUNK frames in ONE dispatch: a device-side lax.scan of the fused
-        per-frame step (frontend + tracking + bookkeeping), threading the
-        SLAM state frame-to-frame exactly like the host loop does. Dispatch
-        overhead — the dominant cost on remote/relay-attached TPUs, where
-        each launch costs ~1-4 ms against ~1 ms of device compute — is paid
-        once per CHUNK frames instead of once per frame.
-
-        Semantics match process_frame_pipelined: mapping for a keyframe that
-        fires inside a chunk runs after the chunk resolves (the reference
-        also queues keyframes behind tracking — MaxPendingKeyframes,
-        MageSettings.h:255 — so tracking continues on the pre-keyframe map
-        for a few frames either way). frames_since_keyframe resets at the
-        keyframe DECISION on-device (the reference's NewKeyFrameDecision
-        counter semantics, Tracking/NewKeyFrameDecision.cpp:141)."""
-        fes = self.fes
-        cam16 = self.cam16
-        cam = self.cam
-        N = self.N
-
-        def one(map_state, history, pose_history, fsk, fsr,
-                image, timestamp, frame_id):
-            feats = detect_and_compute(image, cam16, fes, N)
-            frame = TrackedFrame(
-                pose=Pose.identity(), cam=cam,
-                kp_xy=feats.und_xy, kp_octave=feats.octave, desc=feats.desc,
-                kp_valid=feats.valid,
-                assoc=jnp.full((N,), -1, jnp.int32),
-                timestamp=timestamp, frame_id=frame_id,
-            )
-            res = self._track_fn(map_state, history, frame,
-                                 Pose.identity(), jnp.asarray(False))
-            m2, h2, ph2, is_kf = self._post_fn(
-                map_state, history, pose_history, res.frame,
-                res.found_delta, res.predicted_delta, fsk, fsr)
-            gate = res.succeeded
-            pick = lambda new, old: jax.tree.map(
-                lambda a, c: jnp.where(jnp.reshape(gate, (1,) * a.ndim), a, c),
-                new, old)
-            flags = jnp.stack([
-                gate.astype(jnp.int32), res.tracked_count,
-                (is_kf & gate).astype(jnp.int32)])
-            return (pick(m2, map_state), pick(h2, history),
-                    pick(ph2, pose_history), res.frame, flags)
+        per-frame step (frontend + tracking + bookkeeping + in-scan mapping,
+        see _scan_frame_body), threading the SLAM state frame-to-frame
+        exactly like the sync host loop does. Dispatch overhead — the
+        dominant cost on remote/relay-attached TPUs, where each launch costs
+        ~1-4 ms against ~1 ms of device compute — is paid once per CHUNK
+        frames instead of once per frame."""
 
         def chunk_step(map_state, history, pose_history, image_seq,
-                       timestamps, frame_ids, fsk0, fsr0):
+                       timestamps, frame_ids, fsk0, fsr0, map_scale):
             # image_seq is a TUPLE of C images: stacking happens inside the
             # compiled program, so the host never issues eager device ops
             # (every eager op through a relay-attached TPU is an RPC round
@@ -745,28 +927,17 @@ class SlamSession:
             images = jnp.stack(image_seq)
 
             def body(carry, xs):
-                m, h, ph, fsk, fsr = carry
                 image, ts, fid = xs
-                m, h, ph, frame_out, flags = one(
-                    m, h, ph, fsk + 1, jnp.minimum(fsr + 1, 10_000),
-                    image, ts, fid)
-                is_kf = flags[2] > 0
-                fsk = jnp.where(is_kf, 0, fsk + 1)
-                return (m, h, ph, fsk, fsr + 1), (frame_out, flags)
+                carry, (frame_out, flags, ki) = self._scan_frame_body(
+                    carry, image, ts, fid, map_scale)
+                fsk = carry[3]
+                return carry, (frame_out, flags, ki, fsk)
 
-            (m, h, ph, _, _), (frames_out, flags) = jax.lax.scan(
+            (m, h, ph, fsk, fsr), (frames_out, flags, kis, fsks) = jax.lax.scan(
                 body, (map_state, history, pose_history, fsk0, fsr0),
                 (images, timestamps, frame_ids))
-            # single (C, 15) summary buffer: flags + pose per frame — ONE
-            # device→host fetch per chunk (per-buffer fetches are one relay
-            # round trip EACH through a remote TPU attachment)
-            C = images.shape[0]
-            summary = jnp.concatenate([
-                flags.astype(jnp.float32),
-                frames_out.pose.R.reshape(C, 9),
-                frames_out.pose.t.reshape(C, 3),
-            ], axis=1)
-            return m, h, ph, frames_out, summary
+            summary = self._chunk_summary(frames_out, flags, kis, fsks)
+            return m, h, ph, frames_out, summary, fsk, fsr
 
         return jax.jit(chunk_step)
 
@@ -775,54 +946,26 @@ class SlamSession:
         are just (state, bank, start) — a handful of buffer handles and one
         scalar — so dispatch cost through a remote TPU attachment is minimal
         (a tuple-of-images signature serializes C buffer handles per call)."""
-        fes = self.fes
-        cam16 = self.cam16
-        cam = self.cam
-        N = self.N
 
         def stream_step(map_state, history, pose_history, bank,
-                        ts_bank, fid_bank, start, fsk0, fsr0):
+                        ts_bank, fid_bank, start, fsk0, fsr0, map_scale):
             def body(carry, i):
-                m, h, ph, fsk, fsr = carry
                 image = jax.lax.dynamic_index_in_dim(
                     bank, start + i, 0, keepdims=False)
                 ts = jax.lax.dynamic_index_in_dim(
                     ts_bank, start + i, 0, keepdims=False)
                 fid = jax.lax.dynamic_index_in_dim(
                     fid_bank, start + i, 0, keepdims=False)
-                feats = detect_and_compute(image, cam16, fes, N)
-                frame = TrackedFrame(
-                    pose=Pose.identity(), cam=cam,
-                    kp_xy=feats.und_xy, kp_octave=feats.octave,
-                    desc=feats.desc, kp_valid=feats.valid,
-                    assoc=jnp.full((N,), -1, jnp.int32),
-                    timestamp=ts, frame_id=fid,
-                )
-                res = self._track_fn(m, h, frame, Pose.identity(),
-                                     jnp.asarray(False))
-                m2, h2, ph2, is_kf = self._post_fn(
-                    m, h, ph, res.frame, res.found_delta, res.predicted_delta,
-                    fsk + 1, jnp.minimum(fsr + 1, 10_000))
-                gate = res.succeeded
-                pick = lambda new, old: jax.tree.map(
-                    lambda a, c: jnp.where(
-                        jnp.reshape(gate, (1,) * a.ndim), a, c), new, old)
-                flags = jnp.stack([
-                    gate.astype(jnp.int32), res.tracked_count,
-                    (is_kf & gate).astype(jnp.int32)])
-                fsk = jnp.where(is_kf & gate, 0, fsk + 1)
-                return ((pick(m2, m), pick(h2, h), pick(ph2, ph),
-                         fsk, fsr + 1), (res.frame, flags))
+                carry, (frame_out, flags, ki) = self._scan_frame_body(
+                    carry, image, ts, fid, map_scale)
+                fsk = carry[3]
+                return carry, (frame_out, flags, ki, fsk)
 
-            (m, h, ph, _, _), (frames_out, flags) = jax.lax.scan(
+            (m, h, ph, fsk, fsr), (frames_out, flags, kis, fsks) = jax.lax.scan(
                 body, (map_state, history, pose_history, fsk0, fsr0),
                 jnp.arange(chunk))
-            summary = jnp.concatenate([
-                flags.astype(jnp.float32),
-                frames_out.pose.R.reshape(chunk, 9),
-                frames_out.pose.t.reshape(chunk, 3),
-            ], axis=1)
-            return m, h, ph, frames_out, summary
+            summary = self._chunk_summary(frames_out, flags, kis, fsks)
+            return m, h, ph, frames_out, summary, fsk, fsr
 
         return jax.jit(stream_step)
 
@@ -860,12 +1003,16 @@ class SlamSession:
                 results.append(r)
                 base += 1
                 continue
+            fsk0, fsr0 = self._device_counters()
             out = core(
                 self.map, self.history, self.pose_history, bank,
-                ts_bank, fid_bank, np.int32(base),
-                np.int32(self.frames_since_keyframe),
-                np.int32(min(self.frames_since_reloc, 10_000)))
-            self.map, self.history, self.pose_history, frames_out, summary = out
+                ts_bank, fid_bank, np.int32(base), fsk0, fsr0,
+                np.float32(self.map_scale))
+            (self.map, self.history, self.pose_history, frames_out, summary,
+             fsk_dev, fsr_dev) = out
+            # counters stay on device between dispatches — no fetch, no
+            # staleness against the in-scan keyframe resets
+            self._dev_counters = (fsk_dev, fsr_dev)
             self._pending_chunks.append(
                 (frames_out, summary, list(frame_ids[base:base + chunk])))
             if len(self._pending_chunks) > self._chunk_pipeline_depth:
@@ -877,13 +1024,25 @@ class SlamSession:
         results.extend(self.flush_chunks())
         return results
 
+    def _device_counters(self):
+        """(frames_since_keyframe, frames_since_reloc) for the next chunk
+        dispatch: the live device scalars when chunks are in flight, else
+        seeded from the host ints (which resolution keeps in sync)."""
+        if self._dev_counters is not None:
+            return self._dev_counters
+        return (np.int32(self.frames_since_keyframe),
+                np.int32(min(self.frames_since_reloc, 10_000)))
+
     def process_frames_chunked(self, images, timestamps, frame_ids,
                                pipelined: bool = True) -> list[FrameResult]:
         """Highest-throughput entry: C frames per compiled dispatch (images
-        in → per-frame flags out). With pipelined=True (default) outcomes
-        resolve in groups once more than `_chunk_pipeline_depth` chunks are
-        in flight — one device→host round trip per group, hidden behind the
-        newer chunks' compute; call `flush_chunks()` at end of stream. Only valid while initialized and
+        in → per-frame flags out), with keyframe MAPPING running in-scan on
+        device at the triggering frame (zero lag — tighter than the
+        reference's MaxPendingKeyframes=4 backlog). With pipelined=True
+        (default) outcomes resolve in groups once more than
+        `_chunk_pipeline_depth` chunks are in flight — one device→host round
+        trip per group, hidden behind the newer chunks' compute; call
+        `flush_chunks()` at end of stream. Only valid while initialized and
         tracking; callers fall back to process_frame during
         init/relocalization (the console app does)."""
         if not self.initialized or self.lost_count >= \
@@ -896,13 +1055,15 @@ class SlamSession:
         core = self._chunk_cores.get(C)
         if core is None:
             core = self._chunk_cores[C] = self._build_chunk_core(C)
-        self.map, self.history, self.pose_history, frames_out, summary = core(
+        fsk0, fsr0 = self._device_counters()
+        (self.map, self.history, self.pose_history, frames_out, summary,
+         fsk_dev, fsr_dev) = core(
             self.map, self.history, self.pose_history,
             tuple(images),
             np.asarray(timestamps, np.float32),
             np.asarray(frame_ids, np.int32),
-            np.int32(self.frames_since_keyframe),
-            np.int32(min(self.frames_since_reloc, 10_000)))
+            fsk0, fsr0, np.float32(self.map_scale))
+        self._dev_counters = (fsk_dev, fsr_dev)
         self._pending_chunks.append((frames_out, summary, list(frame_ids)))
         results: list[FrameResult] = []
         if not pipelined:
@@ -912,8 +1073,12 @@ class SlamSession:
         return results
 
     def flush_chunks(self) -> list[FrameResult]:
-        """Resolve all in-flight chunks; returns their frame results."""
-        return self._resolve_chunks(len(self._pending_chunks))
+        """Resolve all in-flight chunks; returns their frame results. The
+        host counters are synced from the device summaries, so subsequent
+        per-frame dispatches reseed exactly."""
+        out = self._resolve_chunks(len(self._pending_chunks))
+        self._dev_counters = None
+        return out
 
     def _resolve_chunk(self) -> list[FrameResult]:
         return self._resolve_chunks(1)
@@ -937,25 +1102,45 @@ class SlamSession:
             all_flags = s[:, :3].astype(np.int64)
             pose_R = s[:, 3:12].reshape(-1, 3, 3)
             pose_t = s[:, 12:15]
+            kis = s[:, 15].astype(np.int64)
+            fsks = s[:, 16].astype(np.int64)
             for k, frame_id in enumerate(frame_ids):
-                ok, tracked, is_kf = all_flags[k]
+                ok, tracked, accepted = all_flags[k]
                 if not ok:
                     results.append(self._tracking_failed(frame_id))
                     continue
                 self.lost_count = 0
-                self.frames_since_keyframe += 1
+                # authoritative device value (resets on in-scan keyframe
+                # ACCEPTANCE, freezes on failed frames — exactly the host
+                # per-frame semantics)
+                self.frames_since_keyframe = int(fsks[k])
                 self.frames_since_reloc += 1
                 pose = Pose(pose_R[k], pose_t[k])
-                if is_kf:
+                if accepted:
+                    # mapping already ran IN-SCAN on device at this frame
+                    # (_scan_frame_body); what remains is host-side: the BoW
+                    # index add (async in the reference too,
+                    # MappingWorker.cpp:187-192) and the loop-closure attempt
+                    ki_i = int(kis[k])
+                    self.last_kf_slot = ki_i
                     # slice the full TrackedFrame out of the stacked chunk in
                     # one compiled dispatch (keyframes are rare)
                     if self._chunk_slicer is None:
                         self._chunk_slicer = jax.jit(
                             lambda fr, i: jax.tree.map(lambda a: a[i], fr))
                     frame_k = self._chunk_slicer(frames_out, np.int32(k))
-                    self._insert_keyframe_and_map(frame_k, frame_id)
+                    # stream-only flows never pass process_features after
+                    # init — keyframes feed the online BoW training pool here
+                    self._accumulate_bow_training(frame_k.desc,
+                                                  frame_k.kp_valid)
+                    self.bow = bow_add_keyframe(
+                        self.bow, jnp.int32(ki_i), frame_k.desc,
+                        frame_k.kp_valid)
+                    self.bow = self.bow._replace(
+                        kf_has=self.bow.kf_has & self.map.kf_valid)
+                    self._maybe_close_loop(frame_k, ki_i)
                 results.append(FrameResult(frame_id, TrackingState.TRACKING,
-                                           pose, int(tracked), bool(is_kf)))
+                                           pose, int(tracked), bool(accepted)))
         self.results.extend(results)
         return results
 
@@ -992,7 +1177,10 @@ class SlamSession:
                 self.fuser.process_frame(None, timestamp)
             return self._tracking_failed(frame_id)
         if self.fuser is not None:
-            self.fuser.process_frame(res.frame.pose, timestamp)
+            cov, cov_ok = self.estimate_pose_covariance(res.frame)
+            self.fuser.process_frame(
+                res.frame.pose, timestamp,
+                pose_covariance=cov if cov_ok else None)
 
         frame = res.frame
         self.lost_count = 0
@@ -1002,8 +1190,11 @@ class SlamSession:
         if self.metrics is not None:
             self.metrics.fire("TrackLocalMap.NumMatchedKeypoints", frame_id,
                               int(res.tracked_count))
-        if self.determinator is not None:
-            self.determinator.check("TrackLocalMap.Pose", frame.pose)
+        self._det_check("TrackLocalMap.Pose", frame.pose)
+        self._det_check("TrackLocalMap.Associations", frame.assoc,
+                        res.tracked_count)
+        self._det_check("TrackLocalMap.Scoring", res.found_delta,
+                        res.predicted_delta)
         if self.introspection is not None:
             self.introspection.log_pose(3, frame_id, frame.pose)
 
@@ -1014,8 +1205,17 @@ class SlamSession:
             jnp.int32(min(self.frames_since_reloc, 10_000)),
         )
         is_kf = bool(is_kf_dev)
+        self._det_check("Post.History", self.history.poses, self.history.valid)
+        self._det_check("Post.KeyframeDecision", is_kf_dev)
         if is_kf:
             self._insert_keyframe_and_map(frame, frame_id)
+            self._det_check("Mapping.Map", self.map.kf_valid,
+                            self.map.mp_valid, self.map.kf_assoc)
+            self._det_check("Mapping.Poses", self.map.kf_pose,
+                            self.map.mp_pos)
+            self._det_check("Mapping.PoseHistory",
+                            self.pose_history.conn_kf,
+                            self.pose_history.conn_ok)
             if self.metrics is not None:
                 self.metrics.fire("Mappoints.Total", frame_id,
                                   int(jnp.sum(self.map.mp_valid)))
@@ -1026,6 +1226,22 @@ class SlamSession:
 
         return FrameResult(frame_id, TrackingState.TRACKING, frame.pose,
                            int(res.tracked_count), is_kf)
+
+    def estimate_pose_covariance(self, frame: TrackedFrame):
+        """Per-frame 6×6 pose covariance from reprojection Jacobians
+        (Fuser::EstimatePoseCovariance, Fuser.h:51-75). Returns
+        (covariance np (6,6) in [rho, phi] twist order, ok)."""
+        if self._pose_cov_core is None:
+            from ..fuser.covariance import estimate_pose_covariance as _epc
+
+            def core(frame, mp_pos, mp_valid):
+                return _epc(frame.pose, frame.cam, frame.kp_xy,
+                            frame.kp_valid, frame.assoc, mp_pos, mp_valid)
+
+            self._pose_cov_core = jax.jit(core)
+        cov, ok = self._pose_cov_core(frame, self.map.mp_pos,
+                                      self.map.mp_valid)
+        return np.asarray(cov), bool(ok)
 
     def _tracking_failed(self, frame_id) -> FrameResult:
         self.lost_count += 1
@@ -1097,6 +1313,7 @@ class SlamSession:
         self.key, sub = jax.random.split(self.key)
         frame = self._frame(feats, Pose.identity(), timestamp, frame_id)
         res = self._reloc_core(self.map, self.bow, frame, sub)
+        self._det_check("Reloc.Result", res.succeeded, res.frame.pose)
         if not bool(res.succeeded):
             return FrameResult(frame_id, TrackingState.RELOCALIZING, None, 0, False)
 
@@ -1277,6 +1494,7 @@ class SlamSession:
             return new_state, pose_history, ki
 
         self._mapping_body = mapping_body
+        self._mapping_fn = mapping          # unjitted: embedded in scan cores
         return jax.jit(mapping)
 
     # -- mapping offload (pipeline parallelism over devices) ------------- #
@@ -1310,7 +1528,9 @@ class SlamSession:
         (m2, ki, culled, old_poses), frame, frame_id, (sf, sp) = \
             self._offload_pending
         self._offload_pending = None
-        main_dev = jax.devices()[0]
+        # adopt onto whatever device the session's live state occupies (NOT
+        # jax.devices()[0] — multi-session sharding may place it elsewhere)
+        main_dev = next(iter(self.map.mp_pos.devices()))
         m2, ki, culled, old_poses = jax.device_put(
             (m2, ki, culled, old_poses), main_dev)
         # merge tracking-side recent-point counters earned during the overlap
@@ -1403,6 +1623,8 @@ class SlamSession:
                 search_radius=lc.MatchSearchRadius,
             ),
         )
+        self._det_check("LoopClosure.Detect", det.detected, det.scale,
+                        det.cluster_mask)
         if not bool(det.detected):
             return False
         self.map = close_loop(
@@ -1416,6 +1638,8 @@ class SlamSession:
         )
         # global BA unassociates outliers — refresh the membership cache
         self.map = refresh_membership(self.map)
+        self._det_check("LoopClosure.Close", self.map.kf_pose,
+                        self.map.mp_pos)
         return True
 
     def fossilize(self, global_ba_steps: int | None = None):
@@ -1431,6 +1655,8 @@ class SlamSession:
         ok = np.array(valid)
         mats = np.array(poses.matrix())
         order = np.argsort(ids[ok])
+        self._det_check("Fossilize.Trajectory", ids[ok][order],
+                        mats[ok][order])
         return ids[ok][order], mats[ok][order]
 
     def fossilize_map(self, global_ba_steps: int | None = None):

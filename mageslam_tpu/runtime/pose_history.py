@@ -163,8 +163,14 @@ class PoseHistory(NamedTuple):
         q_nb, c_nb = _world_parts(nb_pose)
         off_q_new = quat_mul(quat_conj(q_nb)[None, :], q_f)     # (H,4)
         off_p_new = jnp.einsum("ij,hj->hi", nb_pose.R, c_f - c_nb[None, :])
-        reanchor = affected & ~has_nb[:, None]
-        drop = affected & has_nb[:, None]
+        # at most ONE slot re-anchors per row (the first affected one): a
+        # frame losing 2+ connections must not gain duplicate new_basis
+        # connections, which would double-weight new_basis in the
+        # ComputeWorldPosition blend (no-duplicate invariant,
+        # HistoricalPose.cpp:24)
+        first_aff = jnp.cumsum(affected.astype(jnp.int32), axis=1) == 1
+        reanchor = affected & ~has_nb[:, None] & first_aff
+        drop = affected & ~reanchor
         return self._replace(
             conn_kf=jnp.where(reanchor, new_basis, self.conn_kf),
             conn_ok=self.conn_ok & ~drop,

@@ -54,6 +54,10 @@ class TrackingHistory(NamedTuple):
     timestamps: jax.Array   # (H,) f32
     assoc: jax.Array        # (H, N) int32
     kp_xy: jax.Array        # (H, N, 2) f32
+    octave: jax.Array       # (H, N) int32 — keypoint pyramid levels (the
+                            # guided cascade queries same-octave only:
+                            # KeypointSpatialIndex octaveSpacing=100 vs
+                            # octaveQueryRange=1, KeypointSpatialIndex.h:36-37)
     desc: jax.Array         # (H, N, 8) uint32
     valid: jax.Array        # (H,) bool
 
@@ -64,6 +68,7 @@ class TrackingHistory(NamedTuple):
             timestamps=jnp.zeros((length,), jnp.float32),
             assoc=jnp.full((length, n_features), -1, jnp.int32),
             kp_xy=jnp.zeros((length, n_features, 2), jnp.float32),
+            octave=jnp.zeros((length, n_features), jnp.int32),
             desc=jnp.zeros((length, n_features, 8), jnp.uint32),
             valid=jnp.zeros((length,), bool),
         )
@@ -76,6 +81,7 @@ class TrackingHistory(NamedTuple):
             timestamps=roll(self.timestamps, frame.timestamp),
             assoc=roll(self.assoc, frame.assoc),
             kp_xy=roll(self.kp_xy, frame.kp_xy),
+            octave=roll(self.octave, frame.kp_octave),
             desc=roll(self.desc, frame.desc),
             valid=roll(self.valid, jnp.asarray(True)),
         )

@@ -114,11 +114,11 @@ def estimate_pose_with_prior(
     cand = is_first & (z >= 0)                                       # Distance >= 0 gate
     n_candidates = jnp.sum(cand.astype(jnp.int32))
 
-    # query octave comes from the observing keyframe's keypoint — the history
-    # stores undistorted positions; octave is re-derived as level 0 for the
-    # golden path (single pyramid level). For multi-level configs the history
-    # would carry octaves; use 0s matched against target octave 0..L.
-    q_oct = jnp.zeros((H * N,), jnp.int32)
+    # query octave = the observing history keypoint's pyramid level; the
+    # cascade matches SAME-octave targets only (the reference's spatial index
+    # stores octave·100 as a 3rd coordinate and queries ±1,
+    # KeypointSpatialIndex.h:36-37 / PoseEstimator.cpp:502-591)
+    q_oct = history.octave.reshape(-1)
 
     # compact the deduped candidate set to a fixed budget (≤ one frame's
     # features per history slot survive dedup, so the budget is generous),
@@ -141,9 +141,12 @@ def estimate_pose_with_prior(
     flat_xy_c = flat_xy[sel]
     predicted_c = predicted[sel]
     a_safe_c = a_safe[sel]
+    q_oct_c = q_oct[sel]
 
     dmat = hamming_matrix(flat_desc_c, frame.desc, use_mxu=use_mxu)
-    dmat = jnp.where(cand_c[:, None] & frame.kp_valid[None, :], dmat, _MBIG)
+    same_oct = q_oct_c[:, None] == frame.kp_octave[None, :]
+    dmat = jnp.where(cand_c[:, None] & same_oct & frame.kp_valid[None, :],
+                     dmat, _MBIG)
 
     def stage(q_xy, radius):
         dx = jnp.abs(q_xy[:, None, 0] - frame.kp_xy[None, :, 0])

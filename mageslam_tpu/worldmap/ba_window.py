@@ -154,8 +154,20 @@ def build_local_ba_window(
     info = refinement_confidence(state.mp_refine_count[a_safe[o_kf, o_feat]])
     obs_info = jnp.where(o_ok, jnp.maximum(info, 1e-3), 0.0)
 
+    # --- persisted keyframe tethers whose BOTH endpoints are in the window
+    # (BundleAdjust.cpp:57-113: constraints added when the origin keyframe is
+    # part of the problem; tether_cam1 = origin, tether_cam2 = owner) ---
+    T = state.tether_weight.shape[0]
+    to_safe = jnp.where(state.tether_origin >= 0, state.tether_origin, 0)
+    tw_safe = jnp.where(state.tether_owner >= 0, state.tether_owner, 0)
+    t_cam1 = cam_local[to_safe]
+    t_cam2 = cam_local[tw_safe]
+    t_ok = ((state.tether_weight > 0) & (state.tether_origin >= 0)
+            & (state.tether_owner >= 0) & (t_cam1 >= 0) & (t_cam2 >= 0)
+            & state.kf_valid[to_safe] & state.kf_valid[tw_safe])
+
     # --- fill the problem ---
-    problem = empty_problem(max_cams, max_points, max_obs)
+    problem = empty_problem(max_cams, max_points, max_obs, n_tethers=T)
     in_window = jnp.zeros((K,), bool).at[cam_safe].max(cam_ok & kc_mask[cam_safe])
     fixed = state.kf_fixed[cam_safe] | jnp.logical_not(kc_mask[cam_safe])
     problem = problem._replace(
@@ -169,6 +181,12 @@ def build_local_ba_window(
         obs_pt=obs_pt,
         obs_uv=obs_uv,
         obs_info=obs_info,
+        tether_kind=state.tether_kind,
+        tether_cam1=jnp.where(t_ok, t_cam1, 0),
+        tether_cam2=jnp.where(t_ok, t_cam2, 0),
+        tether_pose=state.tether_pose,
+        tether_distance=state.tether_distance,
+        tether_weight=jnp.where(t_ok, state.tether_weight, 0.0),
     )
     del in_window
     return BAWindow(

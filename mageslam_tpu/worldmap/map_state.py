@@ -69,6 +69,17 @@ class MapState(NamedTuple):
     mp_found: jax.Array          # (P,) int32 — times found by tracking (TrackLocalMap.cpp:68-86)
     mp_predicted: jax.Array      # (P,) int32 — times predicted visible
 
+    # --- keyframe tethers (Data/Tether.h:12-68) ---
+    # Persisted spatial constraints between keyframe pairs, re-assembled into
+    # every BA window (BundleAdjust.cpp:57-119). The reference stores them on
+    # the owning keyframe; here one small bank holds (owner, origin) pairs.
+    tether_owner: jax.Array      # (T,) int32 owning keyframe slot (DestinationIdx)
+    tether_origin: jax.Array     # (T,) int32 the other keyframe (OriginIdx)
+    tether_kind: jax.Array       # (T,) int32 ba.problem.TETHER_* kind
+    tether_pose: Pose            # (T,) measured origin→owner view-delta T_o∘T_g⁻¹
+    tether_distance: jax.Array   # (T,) f32 (DISTANCE kind)
+    tether_weight: jax.Array     # (T,) f32; 0 = free slot
+
     # --- counters ---
     next_order: jax.Array        # () int32 — next keyframe insertion sequence number
 
@@ -82,9 +93,17 @@ class MapState(NamedTuple):
         return self.kf_pose.center()
 
 
-def empty_map(max_keyframes: int, max_points: int, max_features: int) -> MapState:
+def empty_map(max_keyframes: int, max_points: int, max_features: int,
+              max_tethers: int = 16) -> MapState:
     K, P, N = max_keyframes, max_points, max_features
+    T = max_tethers
     return MapState(
+        tether_owner=jnp.full((T,), -1, jnp.int32),
+        tether_origin=jnp.full((T,), -1, jnp.int32),
+        tether_kind=jnp.zeros((T,), jnp.int32),
+        tether_pose=Pose.identity((T,)),
+        tether_distance=jnp.ones((T,), jnp.float32),
+        tether_weight=jnp.zeros((T,), jnp.float32),
         kf_valid=jnp.zeros((K,), bool),
         kf_fixed=jnp.zeros((K,), bool),
         kf_immortal=jnp.zeros((K,), bool),

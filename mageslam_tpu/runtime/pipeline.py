@@ -889,17 +889,19 @@ class SlamSession:
         accepted = ki >= 0
         fsk = jnp.where(gate, jnp.where(accepted, 0, fsk + 1), fsk)
         fsr = jnp.where(gate, jnp.minimum(fsr + 1, 10_000), fsr)
+        n_kf = jnp.sum(m.kf_valid.astype(jnp.int32))
         flags = jnp.stack([
             gate.astype(jnp.int32), res.tracked_count,
             accepted.astype(jnp.int32)])
-        return (m, h, ph, fsk, fsr), (res.frame, flags, ki)
+        return (m, h, ph, fsk, fsr), (res.frame, flags, ki, n_kf)
 
     @staticmethod
-    def _chunk_summary(frames_out, flags, kis, fsks):
-        """(C, 17) per-frame summary: flags(3) + R(9) + t(3) + keyframe
-        slot(1) + frames_since_keyframe-after(1) — ONE device→host
-        fetch per chunk (per-buffer fetches are one relay round trip EACH
-        through a remote TPU attachment)."""
+    def _chunk_summary(frames_out, flags, kis, fsks, nkfs):
+        """(C, 18) per-frame summary: flags(3) + R(9) + t(3) + keyframe
+        slot(1) + frames_since_keyframe-after(1) + keyframes-in-map(1) — ONE
+        device→host fetch per chunk (per-buffer fetches are one relay round
+        trip EACH through a remote TPU attachment; the n_kf column spares
+        the loop-closure gate its own fetch per keyframe)."""
         C = flags.shape[0]
         return jnp.concatenate([
             flags.astype(jnp.float32),
@@ -907,6 +909,7 @@ class SlamSession:
             frames_out.pose.t.reshape(C, 3),
             kis.astype(jnp.float32)[:, None],
             fsks.astype(jnp.float32)[:, None],
+            nkfs.astype(jnp.float32)[:, None],
         ], axis=1)
 
     def _build_chunk_core(self, chunk: int):
@@ -928,15 +931,16 @@ class SlamSession:
 
             def body(carry, xs):
                 image, ts, fid = xs
-                carry, (frame_out, flags, ki) = self._scan_frame_body(
+                carry, (frame_out, flags, ki, n_kf) = self._scan_frame_body(
                     carry, image, ts, fid, map_scale)
                 fsk = carry[3]
-                return carry, (frame_out, flags, ki, fsk)
+                return carry, (frame_out, flags, ki, fsk, n_kf)
 
-            (m, h, ph, fsk, fsr), (frames_out, flags, kis, fsks) = jax.lax.scan(
-                body, (map_state, history, pose_history, fsk0, fsr0),
-                (images, timestamps, frame_ids))
-            summary = self._chunk_summary(frames_out, flags, kis, fsks)
+            (m, h, ph, fsk, fsr), (frames_out, flags, kis, fsks, nkfs) = \
+                jax.lax.scan(
+                    body, (map_state, history, pose_history, fsk0, fsr0),
+                    (images, timestamps, frame_ids))
+            summary = self._chunk_summary(frames_out, flags, kis, fsks, nkfs)
             return m, h, ph, frames_out, summary, fsk, fsr
 
         return jax.jit(chunk_step)
@@ -956,15 +960,16 @@ class SlamSession:
                     ts_bank, start + i, 0, keepdims=False)
                 fid = jax.lax.dynamic_index_in_dim(
                     fid_bank, start + i, 0, keepdims=False)
-                carry, (frame_out, flags, ki) = self._scan_frame_body(
+                carry, (frame_out, flags, ki, n_kf) = self._scan_frame_body(
                     carry, image, ts, fid, map_scale)
                 fsk = carry[3]
-                return carry, (frame_out, flags, ki, fsk)
+                return carry, (frame_out, flags, ki, fsk, n_kf)
 
-            (m, h, ph, fsk, fsr), (frames_out, flags, kis, fsks) = jax.lax.scan(
-                body, (map_state, history, pose_history, fsk0, fsr0),
-                jnp.arange(chunk))
-            summary = self._chunk_summary(frames_out, flags, kis, fsks)
+            (m, h, ph, fsk, fsr), (frames_out, flags, kis, fsks, nkfs) = \
+                jax.lax.scan(
+                    body, (map_state, history, pose_history, fsk0, fsr0),
+                    jnp.arange(chunk))
+            summary = self._chunk_summary(frames_out, flags, kis, fsks, nkfs)
             return m, h, ph, frames_out, summary, fsk, fsr
 
         return jax.jit(stream_step)
@@ -1104,6 +1109,7 @@ class SlamSession:
             pose_t = s[:, 12:15]
             kis = s[:, 15].astype(np.int64)
             fsks = s[:, 16].astype(np.int64)
+            nkfs = s[:, 17].astype(np.int64)
             for k, frame_id in enumerate(frame_ids):
                 ok, tracked, accepted = all_flags[k]
                 if not ok:
@@ -1138,7 +1144,7 @@ class SlamSession:
                         frame_k.kp_valid)
                     self.bow = self.bow._replace(
                         kf_has=self.bow.kf_has & self.map.kf_valid)
-                    self._maybe_close_loop(frame_k, ki_i)
+                    self._maybe_close_loop(frame_k, ki_i, n_kf=int(nkfs[k]))
                 results.append(FrameResult(frame_id, TrackingState.TRACKING,
                                            pose, int(tracked), bool(accepted)))
         self.results.extend(results)
@@ -1597,14 +1603,19 @@ class SlamSession:
         )
         return float(mse)
 
-    def _maybe_close_loop(self, frame: TrackedFrame, ki_i: int):
+    def _maybe_close_loop(self, frame: TrackedFrame, ki_i: int,
+                          n_kf: int | None = None):
         """Loop detection + closing for the new keyframe (LoopClosureWorker::
         AttemptLoopClosure via the LoopDetection schedule, Runtime.cpp:552-573).
         Host-gated: rare path, separately jitted."""
         lc = self.settings.LoopClosureSettings
         if not lc.EnableLoopClosure:
             return False
-        if int(jnp.sum(self.map.kf_valid)) < lc.MinKeyframe:
+        # n_kf rides the chunk summary when available — a bare jnp.sum fetch
+        # costs a full relay round trip per keyframe otherwise
+        if n_kf is None:
+            n_kf = int(jnp.sum(self.map.kf_valid))
+        if n_kf < lc.MinKeyframe:
             return False
         from .loop_closure import close_loop, detect_loop
 

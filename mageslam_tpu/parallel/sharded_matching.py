@@ -8,7 +8,7 @@ best), and the per-keypoint winner combines across chips with one all_gather
 of (d, 3, N) reduction operands — collectives ride ICI.
 
 This is the TP analog for SLAM: the biggest per-frame tensors (point bank,
-distance matrices) partition over chips while每 frame's keypoint set stays
+distance matrices) partition over chips while each frame's keypoint set stays
 replicated. Equivalent output to ops.matching.radius_match + dedup over the
 full bank (validated against it in tests on the virtual CPU mesh).
 """

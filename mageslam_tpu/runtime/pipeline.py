@@ -261,14 +261,19 @@ class SlamSession:
             return self._resolve_pending()
         return None
 
-    def _resolve_pending(self) -> FrameResult | None:
-        """Resolve ALL queued frames with a single device→host transfer
-        (each np.asarray over the remote transport costs a full round trip,
-        so flags are stacked on-device and fetched once per batch)."""
+    def _resolve_pending(self, count: int | None = None) -> FrameResult | None:
+        """Resolve the oldest `count` queued frames (default: all) with a
+        single device→host transfer (each np.asarray over the remote
+        transport costs a full round trip, so flags are stacked on-device
+        and fetched once per batch)."""
         if not self._pending:
             return None
-        batch = self._pending
-        self._pending = []
+        if count is None:
+            count = len(self._pending)
+        batch = self._pending[:count]
+        del self._pending[:count]
+        if not batch:
+            return None
         all_flags = np.asarray(jnp.stack([f for _, f, _ in batch]))
         result = None
         for (frame_out, _, frame_id), (ok, tracked, is_kf) in zip(batch, all_flags):
@@ -1172,6 +1177,53 @@ class SlamSession:
         self._pending.append((frame_out, flags, frame_id))
         if len(self._pending) > self._pipeline_depth:
             return self._resolve_pending()
+        return None
+
+    def process_frame_realtime(self, image, timestamp: float, frame_id: int,
+                               max_inflight: int | None = None
+                               ) -> FrameResult | None:
+        """Real-time entry with frame-drop backpressure: the reference's
+        `OneAtATime` CAS gate skips frames while analysis/tracking is busy
+        and its pending-keyframe queue caps at MaxPendingKeyframes
+        (Runtime.cpp:107-121, 357-365). TPU form: frames dispatch
+        asynchronously; outcomes whose device buffers are already
+        materialized resolve for free (non-blocking `is_ready`), and a frame
+        arriving while `max_inflight` dispatches are still unresolved is
+        DROPPED with a SKIPPED result — bounded latency instead of an
+        unbounded queue. Dropped frames do not count as tracking failures
+        (FinalizeFrame SKIPPED semantics, Runtime.cpp:273-303)."""
+        if max_inflight is None:
+            max_inflight = self.settings.MappingSettings.MaxPendingKeyframes
+        if not self.initialized or self.lost_count >= \
+                self.settings.TrackLocalMapSettings.TrackingLostCountUntilReloc:
+            prev = self.flush()
+            res = self.process_frame(image, timestamp, frame_id)
+            return prev or res
+        # opportunistically resolve frames whose flags are materialized
+        n_ready = 0
+        for _, flags, _ in self._pending:
+            if not flags.is_ready():
+                break
+            n_ready += 1
+        if n_ready:
+            self._resolve_pending(n_ready)
+        if len(self._pending) >= max_inflight:
+            result = FrameResult(frame_id, TrackingState.SKIPPED, None, 0,
+                                 False)
+            self.results.append(result)
+            return result
+        prior, prior_valid = self._imu_prior()
+        self.map, self.history, self.pose_history, frame_out, flags = \
+            self._frame_step_core(
+                self.map, self.history, self.pose_history,
+                jnp.asarray(image, jnp.float32),
+                np.float32(timestamp), np.int32(frame_id),
+                np.int32(self.frames_since_keyframe + 1),
+                np.int32(min(self.frames_since_reloc + 1, 10_000)),
+                prior, prior_valid,
+            )
+        self._pending.append((frame_out, flags, frame_id))
+        # outcome surfaces at a later call / flush(), like the pipelined path
         return None
 
     def _track(self, feats, timestamp, frame_id) -> FrameResult:

@@ -113,3 +113,97 @@ class TestMappingOffload:
         assert abs(n_kf_off - n_kf_sync) <= 1, (n_kf_off, n_kf_sync)
         # the adopted map must live on the main device again
         assert list(s_off.map.mp_pos.devices())[0] == jax.devices()[0]
+
+
+class TestShardedGlobalBA:
+    def _problem(self, rng, K=16, P_=512, O=2048):
+        """Small synthetic BA problem with a tether and fixed cameras."""
+        from mageslam_tpu.ba.problem import (BAState, TETHER_TRANSFORM,
+                                             empty_problem)
+        from mageslam_tpu.geometry.se3 import Pose, exp_so3
+
+        pts = np.stack([rng.uniform(-2, 2, P_), rng.uniform(-1.5, 1.5, P_),
+                        rng.uniform(4, 9, P_)], 1).astype(np.float32)
+        centers = np.stack([np.linspace(-1, 1, K), np.zeros(K),
+                            np.zeros(K)], 1).astype(np.float32)
+        R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
+        t = -np.einsum("kij,kj->ki", R, centers)
+        cam = np.array([300.0, 300.0, 160.0, 120.0], np.float32)
+
+        obs_cam = rng.randint(0, K, O).astype(np.int32)
+        obs_pt = rng.randint(0, P_, O).astype(np.int32)
+        Xc = np.einsum("oij,oj->oi", R[obs_cam], pts[obs_pt]) + t[obs_cam]
+        uv = np.stack([cam[0] * Xc[:, 0] / Xc[:, 2] + cam[2],
+                       cam[1] * Xc[:, 1] / Xc[:, 2] + cam[3]], 1)
+        uv += rng.normal(0, 0.4, uv.shape)
+
+        dphi = rng.normal(0, 0.008, (K, 3)).astype(np.float32)
+        R0 = np.einsum("kij,kjl->kil",
+                       np.array(exp_so3(jnp.asarray(dphi))), R)
+        t0 = t + rng.normal(0, 0.008, (K, 3)).astype(np.float32)
+
+        p = empty_problem(K, P_, O)
+        fixed = np.zeros(K, bool)
+        fixed[0] = True
+        p = p._replace(
+            poses=Pose(jnp.asarray(R0), jnp.asarray(t0)),
+            intrinsics=jnp.tile(jnp.asarray(cam)[None], (K, 1)),
+            cam_fixed=jnp.asarray(fixed),
+            cam_valid=jnp.ones((K,), bool),
+            points=jnp.asarray(pts + rng.normal(0, 0.01, pts.shape)
+                               .astype(np.float32)),
+            pt_valid=jnp.ones((P_,), bool),
+            obs_cam=jnp.asarray(obs_cam),
+            obs_pt=jnp.asarray(obs_pt),
+            obs_uv=jnp.asarray(uv.astype(np.float32)),
+            obs_info=jnp.ones((O,), jnp.float32),
+            tether_kind=p.tether_kind.at[0].set(TETHER_TRANSFORM),
+            tether_cam1=p.tether_cam1.at[0].set(1),
+            tether_cam2=p.tether_cam2.at[0].set(2),
+            tether_pose=Pose(
+                p.tether_pose.R.at[0].set(jnp.eye(3)),
+                p.tether_pose.t.at[0].set(
+                    jnp.asarray(t[2] - t[1]))),
+            tether_weight=p.tether_weight.at[0].set(5.0),
+        )
+        # moderately damped: with tiny lambda, V_inv ~ 1/lambda amplifies f32
+        # Cholesky noise on weakly-constrained points and dense-vs-sharded
+        # diverge legitimately; lambda=0.1 keeps the comparison meaningful
+        return p, BAState.from_problem(p, user_lambda=0.1)
+
+    def test_matches_dense_lm_iteration(self, rng, mesh8):
+        """One sharded LM iteration over the 8-device mesh must match the
+        dense single-device iteration (same λ, same accept decision, same
+        updated poses/points to f32 tolerance)."""
+        from mageslam_tpu.ba.schur import lm_iteration
+        from mageslam_tpu.parallel.sharded_ba import make_sharded_lm_iteration
+
+        p, st = self._problem(rng)
+        hw = jnp.float32(1.5)
+        dense = lm_iteration(p, st, hw)
+        sharded_it = make_sharded_lm_iteration(mesh8, axis="model")
+        shard = sharded_it(p, st, hw)
+
+        assert bool(dense.accepted) == bool(shard.accepted)
+        np.testing.assert_allclose(float(shard.cost), float(dense.cost),
+                                   rtol=1e-3)
+        np.testing.assert_allclose(np.array(shard.state.points),
+                                   np.array(dense.state.points),
+                                   atol=5e-3)
+        np.testing.assert_allclose(np.array(shard.state.poses.t),
+                                   np.array(dense.state.poses.t), atol=1e-3)
+        np.testing.assert_allclose(np.array(shard.state.poses.R),
+                                   np.array(dense.state.poses.R), atol=1e-3)
+
+    def test_converges_over_iterations(self, rng, mesh8):
+        from mageslam_tpu.parallel.sharded_ba import make_sharded_lm_iteration
+
+        p, st = self._problem(rng)
+        it = make_sharded_lm_iteration(mesh8, axis="model")
+        costs = []
+        for k in range(4):
+            res = it(p, st, jnp.float32(1.5))
+            st = res.state
+            costs.append(float(res.cost))
+        assert costs[-1] <= costs[0]
+        assert np.isfinite(np.array(st.points)).all()

@@ -206,6 +206,51 @@ class TestPipelinedImagePath:
         assert tracked >= 25, tracked
 
 
+class TestRealtimeBackpressure:
+    def test_drops_when_saturated_and_recovers(self, rng):
+        """process_frame_realtime: the OneAtATime frame-drop gate +
+        MaxPendingKeyframes bound (Runtime.cpp:107-121, 357-365). Saturation
+        drops frames as SKIPPED without counting tracking failures; normal
+        load processes everything."""
+        import sys
+        sys.path.insert(0, ".")
+        import bench
+
+        rng2 = np.random.RandomState(7)
+        pts, patches = bench.build_world(rng2)
+        cam = jnp.array([bench.FX, bench.FY, bench.CX, bench.CY], jnp.float32)
+        sess = SlamSession(cam=cam, image_width=bench.W, image_height=bench.H)
+        images = [jnp.asarray(bench.render(pts, patches, i * 0.033))
+                  for i in range(56)]
+        for i in range(40):
+            sess.process_frame(images[i], i * 0.033, i)
+        assert sess.initialized
+
+        # paced load (arrival rate <= service rate): nothing drops. The
+        # flush after each call models a camera slower than the device — on
+        # this 1-core CPU back-to-back arrivals genuinely saturate, which is
+        # the gate doing its job, not a failure
+        for i in range(40, 48):
+            sess.process_frame_realtime(images[i], i * 0.033, i)
+            sess.flush()
+        recent = sess.results[-8:]
+        assert all(r.state == TrackingState.TRACKING for r in recent), recent
+
+        # saturated: max_inflight=0 forces the drop branch every frame
+        lc = sess.lost_count
+        dropped = [sess.process_frame_realtime(images[i], i * 0.033, i,
+                                               max_inflight=0)
+                   for i in range(48, 52)]
+        assert all(r is not None and r.state == TrackingState.SKIPPED
+                   for r in dropped)
+        assert sess.lost_count == lc, "drops must not count as failures"
+
+        # recovery: normal processing resumes tracking
+        sess.process_frame_realtime(images[52], 52 * 0.033, 52)
+        sess.flush()
+        assert sess.results[-1].state == TrackingState.TRACKING
+
+
 class TestChunkedFrameLoop:
     def test_chunked_and_stream_match_per_frame(self, rng):
         """process_frames_chunked / process_frame_stream (C frames per

@@ -1705,6 +1705,41 @@ class SlamSession:
                         self.map.mp_pos)
         return True
 
+    def get_tracking_results_for_frames(self, frame_ids):
+        """Live-session trajectory query (MAGESlam::GetTrackingResultsForFrames,
+        MageSlam.h:161): per requested frame id, the CURRENT world→camera
+        4×4 view matrix re-derived from the pose history against today's
+        keyframe poses, or None if the frame was never tracked / its
+        connections died."""
+        poses, valid = self.pose_history.derive_poses(self.map.kf_pose)
+        ids = np.array(self.pose_history.frame_id)
+        ok = np.array(valid)
+        mats = np.array(poses.matrix())
+        lut = {int(i): mats[j] for j, i in enumerate(ids) if ok[j]}
+        return [lut.get(int(f)) for f in frame_ids]
+
+    def try_get_volume_of_interest(self, settings=None):
+        """Live-session VOI query (MAGESlam::TryGetVolumeOfInterest,
+        MageSlam.h:178): AABB of interesting space from the pose history's
+        view frusta, or None while uninitialized."""
+        if not self.initialized:
+            return None
+        from ..analysis.voi import (VoiSettings, calculate_volume_of_interest,
+                                    make_voi_keyframes)
+
+        poses, valid = self.pose_history.derive_poses(self.map.kf_pose)
+        ok = valid & (self.pose_history.far > 0)
+        if int(jnp.sum(ok)) < 2:
+            return None
+        kf = make_voi_keyframes(poses, self.pose_history.near,
+                                self.pose_history.far, ok,
+                                settings or VoiSettings())
+        lo, hi, got = calculate_volume_of_interest(kf,
+                                                   settings or VoiSettings())
+        if not bool(got):
+            return None
+        return np.asarray(lo), np.asarray(hi)
+
     def fossilize(self, global_ba_steps: int | None = None):
         """Final global BA + frozen trajectory (MAGESlam::Fossilize,
         MageSlam.cpp:322-383). Returns (frame_ids, poses (M,4,4) world→camera)."""

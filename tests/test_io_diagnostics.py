@@ -323,3 +323,25 @@ class TestSensorLog:
         for k in range(5):
             f.process_frame(None, 0.1 + 0.1 * k)
         assert f.mode != FuserMode.WAIT_FOR_MAGE_INIT
+
+
+class TestLiveSessionQueries:
+    def test_live_tracking_results_and_voi(self, rng):
+        """MAGESlam's LIVE queries (MageSlam.h:161,178) — not just the
+        fossilized ones: per-frame current view matrices re-derived against
+        today's keyframe poses, and the live volume of interest."""
+        pts, descs = make_world(rng)
+        sess = SlamSession(cam=CAM, image_width=int(W), image_height=int(H))
+        for i in range(25):
+            t = i * 0.033
+            sess.process_features(
+                frame_features(pts, descs, pose_at(t), sess.N, rng), t, i)
+        assert sess.initialized
+        res = sess.get_tracking_results_for_frames([0, 20, 99999])
+        assert res[0] is not None and res[0].shape == (4, 4)
+        assert res[1] is not None and np.isfinite(res[1]).all()
+        assert res[2] is None
+        voi = sess.try_get_volume_of_interest()
+        assert voi is not None
+        lo, hi = voi
+        assert (hi > lo).all()

@@ -109,6 +109,7 @@ class SlamSession:
         # undistorts keypoints only (the reference default).
         self._undistort_pixels = False
         self._raw_cam16 = None
+        self._stereo_prep = None    # cached (camera1-bytes, ok, remap, cam16)
         if camera is not None:
             from ..ops.undistort import undistorted_calibration
 
@@ -123,10 +124,15 @@ class SlamSession:
                 self.cam16 = camera
             if cam is not None:
                 self.cam = cam
-            elif distorted:
-                # matching/BA run in the undistorted pinhole space
-                self.cam = undistorted_calibration(camera)[:4]
+            elif self._undistort_pixels:
+                # image warped to the centered-pp pinhole → match there
+                self.cam = self.cam16[:4]
             else:
+                # keypoints-only path: the frontend undistorts with P = K
+                # (camera.undistort_pixels keeps the ORIGINAL fx/fy/cx/cy),
+                # so matching/BA must use those intrinsics — a centered
+                # principal point here would bias every observation by
+                # (cx − w/2, cy − h/2)
                 self.cam = camera[:4]
         else:
             # undistorted pinhole intrinsics (4,) used for matching/BA space
@@ -306,28 +312,46 @@ class SlamSession:
         (ImageAnalyzer.cpp:131-240 via
         ImagePreprocessor::ScaleImageForCameraConfiguration); otherwise both
         frames share the session calibration."""
+        if self.initialized:
+            # tracking is monocular on camera 0 once initialized — the
+            # secondary frame is only consumed by the stereo bootstrap
+            return self.process_frame(image0, timestamp, frame_id)
         img0 = jnp.asarray(image0, jnp.float32)
         img1 = jnp.asarray(image1, jnp.float32)
         cam1_16 = self.cam16
         if camera1 is not None:
-            from ..ops.undistort import (rescale_image,
-                                         scale_for_camera_configuration)
+            # the rig geometry is static: compute the rescale ONCE and keep
+            # the remap jitted (eager per-frame rescale through a remote
+            # attachment would be one RPC per op — CLAUDE.md)
+            key_b = np.asarray(camera1).tobytes()
+            if self._stereo_prep is None or self._stereo_prep[0] != key_b:
+                from ..ops.undistort import (rescale_image,
+                                             scale_for_camera_configuration)
 
-            cam1_16 = jnp.asarray(camera1, jnp.float32)
-            max_depth = (self.settings.StereoSettings
-                         .StereoMapInitializationSettings.MaxDepthMeters)
-            scale, overlap_ok = scale_for_camera_configuration(
-                cam1_16, self.cam16, frame0_to_frame1, max_depth)
-            s = float(scale)
-            if not bool(overlap_ok):
+                c1 = jnp.asarray(camera1, jnp.float32)
+                max_depth = (self.settings.StereoSettings
+                             .StereoMapInitializationSettings.MaxDepthMeters)
+                scale, overlap_ok = scale_for_camera_configuration(
+                    c1, self.cam16, frame0_to_frame1, max_depth)
+                sc = float(scale)
+                ok = bool(overlap_ok)
+                if ok and abs(sc - 1.0) > 1e-3:
+                    c1 = c1.at[:4].mul(sc).at[12].set(self.width) \
+                        .at[13].set(self.height)
+                    remap = jax.jit(lambda im, s_=jnp.float32(sc):
+                                    rescale_image(im, s_, self.height,
+                                                  self.width))
+                else:
+                    remap = None
+                self._stereo_prep = (key_b, ok, remap, c1)
+            _, ok, remap, cam1_16 = self._stereo_prep
+            if not ok:
                 result = FrameResult(frame_id, TrackingState.INITIALIZING,
                                      None, 0, False)
                 self.results.append(result)
                 return result
-            if abs(s - 1.0) > 1e-3:
-                img1 = rescale_image(img1, s, self.height, self.width)
-                cam1_16 = cam1_16.at[:4].mul(s).at[12].set(self.width) \
-                    .at[13].set(self.height)
+            if remap is not None:
+                img1 = remap(img1)
         f0 = detect_and_compute(img0, self.cam16, self.fes, self.N)
         f1 = detect_and_compute(img1, cam1_16, self.fes, self.N)
         return self.process_stereo_features(f0, f1, frame0_to_frame1,
@@ -397,9 +421,10 @@ class SlamSession:
         AND ≥ MinTrainingSize descriptors; keeps accumulating a few more
         frames if the pool is still thin — OnlineBow.cpp:454-471)."""
         bw = self.settings.BagOfWordsSettings
-        if self._bow_retrained or len(self._bow_pool) >= 3 * bw.TrainingFrames:
+        if self._bow_retrained:
             return
-        self._bow_pool.append((desc, valid))
+        if len(self._bow_pool) < 3 * bw.TrainingFrames:
+            self._bow_pool.append((desc, valid))   # cap growth, not retrain
         if not self.initialized or len(self._bow_pool) < bw.TrainingFrames:
             return
         pool_d = jnp.concatenate([d for d, _ in self._bow_pool])
@@ -999,6 +1024,10 @@ class SlamSession:
         core = self._stream_cores.get(chunk)
         if core is None:
             core = self._stream_cores[chunk] = self._build_stream_core(chunk)
+        # in-scan mapping does not offload; adopt any pending offloaded pass
+        # first or its stale snapshot would clobber chunk-era map state at
+        # the next reloc/fossilize adoption
+        self._adopt_offloaded_mapping()
 
         results: list[FrameResult] = []
         base = start
@@ -1065,6 +1094,7 @@ class SlamSession:
         core = self._chunk_cores.get(C)
         if core is None:
             core = self._chunk_cores[C] = self._build_chunk_core(C)
+        self._adopt_offloaded_mapping()   # see process_frame_stream note
         fsk0, fsr0 = self._device_counters()
         (self.map, self.history, self.pose_history, frames_out, summary,
          fsk_dev, fsr_dev) = core(
@@ -1108,6 +1138,7 @@ class SlamSession:
         else:
             s_all = np.asarray(jnp.stack([b[1] for b in batch]))
         results: list[FrameResult] = []
+        kf_fid_now = None     # lazy one-shot fetch, only if a keyframe resolved
         for (frames_out, _, frame_ids), s in zip(batch, s_all):
             all_flags = s[:, :3].astype(np.int64)
             pose_R = s[:, 3:12].reshape(-1, 3, 3)
@@ -1131,8 +1162,20 @@ class SlamSession:
                     # mapping already ran IN-SCAN on device at this frame
                     # (_scan_frame_body); what remains is host-side: the BoW
                     # index add (async in the reference too,
-                    # MappingWorker.cpp:187-192) and the loop-closure attempt
+                    # MappingWorker.cpp:187-192) and the loop-closure attempt.
+                    # Deep resolution lag means the slot may have been CULLED
+                    # and re-used by a newer keyframe in later in-flight
+                    # frames — adding the old frame's BoW vector / running
+                    # loop closure against the new occupant would poison
+                    # both, so guard on the slot still holding this frame
                     ki_i = int(kis[k])
+                    if kf_fid_now is None:
+                        kf_fid_now = np.asarray(self.map.kf_frame_id)
+                    if int(kf_fid_now[ki_i]) != int(frame_id):
+                        results.append(FrameResult(
+                            frame_id, TrackingState.TRACKING, pose,
+                            int(tracked), True))
+                        continue
                     self.last_kf_slot = ki_i
                     # slice the full TrackedFrame out of the stacked chunk in
                     # one compiled dispatch (keyframes are rare)
@@ -1205,8 +1248,7 @@ class SlamSession:
             if not flags.is_ready():
                 break
             n_ready += 1
-        if n_ready:
-            self._resolve_pending(n_ready)
+        resolved = self._resolve_pending(n_ready) if n_ready else None
         if len(self._pending) >= max_inflight:
             result = FrameResult(frame_id, TrackingState.SKIPPED, None, 0,
                                  False)
@@ -1223,8 +1265,9 @@ class SlamSession:
                 prior, prior_valid,
             )
         self._pending.append((frame_out, flags, frame_id))
-        # outcome surfaces at a later call / flush(), like the pipelined path
-        return None
+        # newest already-resolved outcome (earlier frames); this frame's own
+        # result surfaces at a later call / flush(), like the pipelined path
+        return resolved
 
     def _track(self, feats, timestamp, frame_id) -> FrameResult:
         frame = self._frame(feats, Pose.identity(), timestamp, frame_id)
@@ -1235,10 +1278,18 @@ class SlamSession:
                 self.fuser.process_frame(None, timestamp)
             return self._tracking_failed(frame_id)
         if self.fuser is not None:
-            cov, cov_ok = self.estimate_pose_covariance(res.frame)
-            self.fuser.process_frame(
-                res.frame.pose, timestamp,
-                pose_covariance=cov if cov_ok else None)
+            from ..fuser.fuser import FuserMode
+
+            cov_arg = None
+            if self.fuser.mode == FuserMode.TRACKING:
+                # only TRACKING-mode visual updates consume the covariance;
+                # earlier modes would pay the extra dispatch + fetch for
+                # nothing (each fetch is a flat relay round trip)
+                cov, cov_ok = self.estimate_pose_covariance(res.frame)
+                if cov_ok:
+                    cov_arg = cov
+            self.fuser.process_frame(res.frame.pose, timestamp,
+                                     pose_covariance=cov_arg)
 
         frame = res.frame
         self.lost_count = 0
@@ -1293,13 +1344,16 @@ class SlamSession:
             from ..fuser.covariance import estimate_pose_covariance as _epc
 
             def core(frame, mp_pos, mp_valid):
-                return _epc(frame.pose, frame.cam, frame.kp_xy,
-                            frame.kp_valid, frame.assoc, mp_pos, mp_valid)
+                cov, ok = _epc(frame.pose, frame.cam, frame.kp_xy,
+                               frame.kp_valid, frame.assoc, mp_pos, mp_valid)
+                # one (37,) buffer → ONE device→host fetch for cov + flag
+                return jnp.concatenate([cov.ravel(),
+                                        ok.astype(jnp.float32)[None]])
 
             self._pose_cov_core = jax.jit(core)
-        cov, ok = self._pose_cov_core(frame, self.map.mp_pos,
-                                      self.map.mp_valid)
-        return np.asarray(cov), bool(ok)
+        out = np.asarray(self._pose_cov_core(frame, self.map.mp_pos,
+                                             self.map.mp_valid))
+        return out[:36].reshape(6, 6), bool(out[36] > 0)
 
     def _tracking_failed(self, frame_id) -> FrameResult:
         self.lost_count += 1

@@ -150,3 +150,16 @@ class TestSessionDistortedCamera:
         tracked = sum(st == TrackingState.TRACKING for st in states)
         assert sess.initialized
         assert tracked >= 0.6 * n_frames, (tracked, states)
+    def test_keypoint_path_keeps_original_principal_point(self):
+        """UndistortImagePixels=False (reference default): the frontend
+        undistorts keypoints with P=K, so the matching/BA intrinsics must be
+        the ORIGINAL fx/fy/cx/cy — a centered pp would bias every
+        observation by (cx−w/2, cy−h/2)."""
+        from mageslam_tpu.runtime import SlamSession
+
+        cam = make_poly3k(260.0, 262.0, 150.0, 125.0, K1, K2, K3, P1, P2,
+                          W, H)
+        sess = SlamSession(camera=cam, image_width=W, image_height=H)
+        assert not sess._undistort_pixels
+        np.testing.assert_allclose(np.array(sess.cam),
+                                   [260.0, 262.0, 150.0, 125.0])

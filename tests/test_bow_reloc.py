@@ -101,6 +101,9 @@ class TestRelocalization:
             sess.process_features(frame_features(pts, descs, pose_at(t), sess.N, rng),
                                   t, i)
         assert sess.initialized
+        # reloc quality is gated on the ONLINE-RETRAINED vocabulary (15-frame
+        # descriptor pool), not the provisional 2-frame init vocab
+        assert sess._bow_retrained
         last_good_pose = pose_at(29 * 0.033)
         # the session's own (map-scale) estimate of that viewpoint — the
         # monocular gauge differs from world units

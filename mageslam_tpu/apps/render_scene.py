@@ -102,8 +102,14 @@ _TEX_MAKERS = [_brick, _wood, _checker, _blobs]
 # scene
 
 
-def build_scene(seed: int = 7, tex: int = 384) -> list[Surface]:
-    """A 8×3×9 m room (y down: floor at y=+1.2) with boxes and posters."""
+def build_scene(seed: int = 7, tex: int = 384,
+                variant: str = "default") -> list[Surface]:
+    """A 8×3×9 m room (y down: floor at y=+1.2) with boxes and posters.
+
+    variant="loop" clears the room center (the orbit trajectory's ring) and
+    spreads boxes/posters along the walls, so a 360° outward-looking circuit
+    always has textured structure at 2-4 m — the depth band where a ~4 cm/
+    frame baseline keeps translation observable for monocular tracking."""
     rng = np.random.default_rng(seed)
     v = lambda *a: np.array(a, np.float32)
     surfaces: list[Surface] = []
@@ -133,16 +139,54 @@ def build_scene(seed: int = 7, tex: int = 384) -> list[Surface]:
         add((x0, y0, z0), (0, 0, d), (0, -h, 0), maker)                 # left
         add((x0 + w, y0, z0), (0, 0, d), (0, -h, 0), maker)             # right
 
-    box(-1.8, 4.0, 1.1, 1.0, 0.9, _checker)
-    box(1.5, 5.5, 1.4, 1.6, 1.0, _wood)
-    box(0.2, 3.0, 0.7, 0.6, 0.7, _blobs)
-    box(-2.6, 6.8, 1.0, 2.0, 1.0, _brick)
-    box(2.8, 2.6, 0.8, 0.9, 0.8, _pink_noise)
+    if variant == "loop":
+        # perimeter structure only; the center stays clear for the orbit ring
+        box(-2.9, 7.0, 1.0, 2.0, 1.0, _brick)
+        box(3.0, 7.4, 1.2, 1.1, 0.9, _wood)
+        box(-3.0, 1.3, 1.0, 0.9, 0.9, _checker)
+        box(2.9, 1.0, 0.9, 1.4, 0.9, _pink_noise)
+        add((-2.2, -1.1, -0.98), (1.6, 0, 0), (0, 1.6, 0), _blobs)   # front wall
+        add((1.0, -1.3, -0.98), (1.5, 0, 0), (0, 1.3, 0), _checker)  # front wall
+        add((-3.98, -1.0, 5.6), (0, 0, 1.8), (0, 1.3, 0), _wood)
+        add((3.98, -1.3, 5.8), (0, 0, 1.7), (0, 1.5, 0), _blobs)
+    else:
+        box(-1.8, 4.0, 1.1, 1.0, 0.9, _checker)
+        box(1.5, 5.5, 1.4, 1.6, 1.0, _wood)
+        box(0.2, 3.0, 0.7, 0.6, 0.7, _blobs)
+        box(-2.6, 6.8, 1.0, 2.0, 1.0, _brick)
+        box(2.8, 2.6, 0.8, 0.9, 0.8, _pink_noise)
     return surfaces
 
 
 # --------------------------------------------------------------------------- #
 # trajectory (ground truth)
+
+
+def trajectory_pose_orbit(i: int, n_frames: int) -> tuple[np.ndarray, np.ndarray]:
+    """Ground-truth pose for a full 360° outward-looking orbit: the camera
+    circles a small ring near the room center, always facing radially
+    outward, and returns exactly to its start pose at frame n_frames.
+
+    Views sweep the entire room once, so keyframes from opposite phases of
+    the circuit share no scenery — covisibility to the first keyframes decays
+    to zero and the final frames form a genuine loop-closure event (the
+    revisit geometry of LoopClosureWorker::DetectLoop) rather than staying
+    inside one covisible cluster like the default sweep."""
+    t = i / max(n_frames, 1)               # frame n_frames == frame 0
+    th = 2.0 * np.pi * t
+    r = 2.0
+    c = np.array([
+        r * np.sin(th),
+        -0.3 + 0.06 * np.sin(4.0 * np.pi * t),
+        4.2 + r * np.cos(th),
+    ], np.float32)
+    yaw = th                                # camera z looks along (sin, 0, cos)
+    pitch = 0.04 * np.sin(6.0 * np.pi * t)
+    cy_, sy = np.cos(yaw), np.sin(yaw)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    R_yaw = np.array([[cy_, 0, -sy], [0, 1, 0], [sy, 0, cy_]], np.float32)
+    R_pitch = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]], np.float32)
+    return (R_pitch @ R_yaw).astype(np.float32), c
 
 
 def trajectory_pose(i: int, n_frames: int) -> tuple[np.ndarray, np.ndarray]:
@@ -256,14 +300,23 @@ def render_frame(
 
 def render_sequence(n_frames: int, width: int = BASE_W, height: int = BASE_H,
                     seed: int = 7, fps: float = 30.0,
-                    supersample: int | None = None):
+                    supersample: int | None = None,
+                    trajectory: str = "sweep",
+                    period: int | None = None):
     """Yield (image uint8 (H,W), timestamp, frame_id, R, c) along the
-    ground-truth trajectory. Supersampling defaults to 2× below 640-wide."""
+    ground-truth trajectory ("sweep" default, "orbit" for the 360°
+    loop-closure circuit). Supersampling defaults to 2× below 640-wide.
+
+    `period` (default n_frames) sets the frame count of one full trajectory
+    cycle; n_frames > period continues past the closure point — the revisit
+    phase where loop-closure consolidation happens."""
     if supersample is None:
         supersample = 2 if width < BASE_W else 1
-    surfaces = build_scene(seed)
+    traj = {"sweep": trajectory_pose, "orbit": trajectory_pose_orbit}[trajectory]
+    surfaces = build_scene(
+        seed, variant="loop" if trajectory == "orbit" else "default")
     for i in range(n_frames):
-        R, c = trajectory_pose(i, n_frames)
+        R, c = traj(i, period if period is not None else n_frames)
         img = render_frame(surfaces, R, c, width, height, frame_index=i,
                            supersample=supersample)
         yield img, i / fps, i, R, c
@@ -297,14 +350,16 @@ def _rot_to_quat_xyzw(R_cw: np.ndarray) -> np.ndarray:
 
 
 def write_tum_sequence(out_dir: str, n_frames: int, width: int, height: int,
-                       seed: int = 7, fps: float = 30.0) -> None:
+                       seed: int = 7, fps: float = 30.0,
+                       trajectory: str = "sweep") -> None:
     import cv2
 
     rgb_dir = os.path.join(out_dir, "rgb")
     os.makedirs(rgb_dir, exist_ok=True)
     rgb_lines = ["# color images", "# timestamp filename"]
     gt_lines = ["# ground truth trajectory", "# timestamp tx ty tz qx qy qz qw"]
-    for img, ts, fid, R, c in render_sequence(n_frames, width, height, seed, fps):
+    for img, ts, fid, R, c in render_sequence(n_frames, width, height, seed,
+                                              fps, trajectory=trajectory):
         name = f"rgb/{ts:.6f}.png"
         cv2.imwrite(os.path.join(out_dir, name), img)
         rgb_lines.append(f"{ts:.6f} {name}")
@@ -326,9 +381,11 @@ def main(argv=None) -> int:
     p.add_argument("--width", type=int, default=BASE_W)
     p.add_argument("--height", type=int, default=BASE_H)
     p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--trajectory", choices=("sweep", "orbit"), default="sweep",
+                   help="'orbit' = 360° outward-looking circuit (loop closure)")
     args = p.parse_args(argv)
     write_tum_sequence(args.output, args.frames, args.width, args.height,
-                       args.seed)
+                       args.seed, trajectory=args.trajectory)
     print(f"wrote {args.frames} frames -> {args.output}")
     return 0
 

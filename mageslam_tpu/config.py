@@ -242,6 +242,12 @@ class LoopClosureSettings:
         default_factory=OrbMatcherSettings
     )
     MapMergeMatchingSettings: OrbMatcherSettings = field(default_factory=OrbMatcherSettings)
+    # EXTENSION (not in MageSettings.h): Sim(3) essential-graph iterations run
+    # after the closed-form loop correction to distribute accumulated drift
+    # over the whole trajectory (BundlerLib declares the PoseGraphOptimizer
+    # but Core never wires it; 0 = reference behavior, closed form + global
+    # BA only). See runtime/loop_closure.essential_graph_refine.
+    EssentialGraphIterations: int = 12
 
 
 @dataclass(frozen=True)

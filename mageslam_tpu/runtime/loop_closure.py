@@ -36,6 +36,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..ba.pose_graph import PoseGraphProblem, Sim3, optimize_pose_graph
 from ..bow.index import BowIndex
 from ..geometry.se3 import Pose
 from ..tracking.frame_state import TrackedFrame
@@ -126,8 +127,15 @@ def detect_loop(
         both, jnp.linalg.norm(map_state.mp_pos[o_safe] - curr_c[None], axis=-1), 0.0))
     reloc_depth = jnp.sum(jnp.where(
         both, jnp.linalg.norm(map_state.mp_pos[r_safe] - reloc_c[None], axis=-1), 0.0))
-    scale_ok = (curr_depth > 0) & (reloc_depth > 0)
+    # sanity gates beyond the reference's raw ratio: enough shared keypoints
+    # for the sums to be meaningful, and a drift band no honest monocular
+    # session exits (a ratio far outside it means a degenerate/false reloc —
+    # applying it as a similarity would shred the map)
+    n_shared = jnp.sum(both.astype(jnp.int32))
+    scale_ok = (curr_depth > 0) & (reloc_depth > 0) & (n_shared >= 8)
     scale = jnp.where(scale_ok, reloc_depth / jnp.maximum(curr_depth, 1e-12), 1.0)
+    scale_ok &= (scale > 0.25) & (scale < 4.0)
+    scale = jnp.where(scale_ok, scale, 1.0)
 
     n_kf = jnp.sum(map_state.kf_valid.astype(jnp.int32))
     detected = (
@@ -142,12 +150,178 @@ def detect_loop(
     )
 
 
+def essential_graph_refine(
+    state: MapState,
+    pre_pose: Pose,
+    move: jax.Array,
+    cluster_mask: jax.Array,
+    scale: jax.Array,
+    ki: jax.Array,
+    pre_covis: jax.Array | None = None,
+    iterations: int = 12,
+    covis_edge_threshold: int = 15,
+    edges_per_kf: int = 4,
+    loop_edge_weight: float = 5.0,
+) -> MapState:
+    """Distribute the loop error over the WHOLE trajectory with a Sim(3)
+    pose graph (the OptimizeEssentialGraph role; BundlerLib declares the
+    optimizer — PoseGraphOptimizer.h:18-65 — and ORB-SLAM defines the
+    recipe). The closed-form correction in `close_loop` moves only Ki's
+    covisible set; everything between the loop ends keeps its accumulated
+    drift, which a reprojection-only global BA relaxes too slowly along the
+    long scale-drift mode. The pose graph fixes exactly that mode:
+
+      vertices   every keyframe as Sim(3); the corrected set enters at scale
+                 1/s (the Sim3 world→cam form of the applied similarity),
+                 the rest at their drifted SE(3) poses with s=1
+      edges      temporal chain + top-C covisibility neighbours, measured
+                 from the PRE-correction relative poses (locally accurate
+                 odometry) — EXCEPT connections that only exist because the
+                 merge fused the two loop ends (pre_covis below threshold),
+                 which are measured from the corrected poses; plus a
+                 loop-connection block anchor↔every corrected keyframe,
+                 also measured from the corrected poses (it carries s).
+                 The loop cluster is the fixed datum.
+      apply      poses  T_j = [R_j | t_j / s_j];  points move with their
+                 earliest observing keyframe:  p' = (G_opt⁻¹∘G_init)(p),
+                 viewing ranges scale by the same correction
+
+    state: post closed-form-correction + merge; pre_pose: poses before it;
+    pre_covis: the PRE-merge covisibility matrix (distinguishes odometry-era
+    connections from ones the closure itself created — measuring the latter
+    from drifted poses would pull the graph straight back into the drift)."""
+    K, P, N = state.capacity
+    valid = state.kf_valid
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (K, 3, 3))
+
+    def _san(pose: Pose) -> Pose:
+        return Pose(jnp.where(valid[:, None, None], pose.R, eye),
+                    jnp.where(valid[:, None], pose.t, 0.0))
+
+    post = _san(state.kf_pose)
+    pre = _san(pre_pose)
+
+    s_v = jnp.where(move & valid, 1.0 / jnp.maximum(scale, 1e-6), 1.0)
+    verts = Sim3(s_v, post.R, s_v[:, None] * post.t)
+    nc = Sim3(jnp.ones((K,), jnp.float32), pre.R, pre.t)
+
+    # temporal chain: each keyframe → the latest earlier keyframe
+    order = jnp.where(valid, state.kf_order, -1)
+    earlier = (order[:, None] < order[None, :]) & valid[:, None] & valid[None, :]
+    prev_order = jnp.where(earlier, order[:, None], -1)        # [i, j]
+    prev = jnp.argmax(prev_order, axis=0).astype(jnp.int32)    # (K,)
+    has_prev = jnp.any(earlier, axis=0)
+
+    # strong covisibility edges: top-C neighbours per keyframe
+    cv = covisibility_matrix(state)
+    cv_ok = jnp.where(cv >= covis_edge_threshold, cv, 0)
+    top_v, top_i = jax.lax.top_k(cv_ok, edges_per_kf)          # (K, C)
+    cov_w = (top_v > 0).astype(jnp.float32)
+
+    # loop anchor: the cluster keyframe Ki now shares the most points with
+    in_cluster = cluster_mask & valid
+    anchor_cv = jnp.argmax(jnp.where(in_cluster, cv[ki], -1)).astype(jnp.int32)
+    anchor = jnp.where(jnp.any(in_cluster & (cv[ki] > 0)), anchor_cv,
+                       jnp.argmax(in_cluster).astype(jnp.int32))
+
+    C = edges_per_kf
+    arange = jnp.arange(K, dtype=jnp.int32)
+    # loop-connection block: anchor ↔ every corrected keyframe (ORB-SLAM's
+    # LoopConnections — holds the whole corrected set to the fixed datum,
+    # not just Ki, so chain edges into the drifted interior can't drag the
+    # closure back out). Weighted above odometry edges: these come from a
+    # RANSAC relocalization, the odometry edges from drifted dead-reckoning.
+    loop_w = loop_edge_weight * (
+        move & valid & (arange != anchor)).astype(jnp.float32)
+    edge_i = jnp.concatenate([prev, top_i.reshape(-1),
+                              jnp.full((K,), anchor, jnp.int32)])
+    edge_j = jnp.concatenate([arange, jnp.repeat(arange, C), arange])
+    w = jnp.concatenate([
+        (has_prev & valid).astype(jnp.float32),
+        cov_w.reshape(-1),
+        loop_w,
+    ])
+    # dead edges pin to vertex 0 with identity measurement (zero residual)
+    dead = w <= 0.0
+    edge_i = jnp.where(dead, 0, edge_i)
+    edge_j = jnp.where(dead, 0, edge_j)
+
+    # measurement source per edge: drifted odometry (nc) for connections
+    # that predate the closure; corrected poses (verts) for connections the
+    # merge created and for the loop block
+    if pre_covis is None:
+        cov_new = jnp.zeros((K, C), bool)
+    else:
+        cov_new = pre_covis[arange[:, None], top_i] < covis_edge_threshold
+    from_corrected = jnp.concatenate([
+        jnp.zeros((K,), bool),
+        cov_new.reshape(-1),
+        jnp.ones((K,), bool),
+    ])
+
+    def _rel(src: Sim3) -> Sim3:
+        gi = jax.tree.map(lambda a: a[edge_i], src)
+        gj = jax.tree.map(lambda a: a[edge_j], src)
+        return gj.compose(gi.inverse())                        # i→j
+
+    meas_pre, meas_post = _rel(nc), _rel(verts)
+    meas = jax.tree.map(
+        lambda a, b: jnp.where(
+            jnp.reshape(from_corrected,
+                        from_corrected.shape + (1,) * (a.ndim - 1)), b, a),
+        meas_pre, meas_post)
+    ident = Sim3(jnp.float32(1.0), jnp.eye(3, dtype=jnp.float32),
+                 jnp.zeros((3,), jnp.float32))
+    meas = jax.tree.map(
+        lambda m, idv: jnp.where(
+            jnp.reshape(dead, dead.shape + (1,) * (m.ndim - 1)), idv, m),
+        meas, ident)
+
+    problem = PoseGraphProblem(
+        vertices=verts, fixed=in_cluster, valid=valid,
+        edge_i=edge_i, edge_j=edge_j, edge_meas=meas, edge_weight=w,
+    )
+    opt = optimize_pose_graph(problem, iterations=iterations)
+
+    # keyframe poses: T_j = [R | t / s]
+    new_pose = Pose(
+        jnp.where(valid[:, None, None], opt.R, state.kf_pose.R),
+        jnp.where(valid[:, None],
+                  opt.t / jnp.maximum(opt.s, 1e-6)[:, None], state.kf_pose.t),
+    )
+
+    # points ride a reference keyframe: p' = (G_opt⁻¹ ∘ G_init)(p). The ref
+    # must live in the same frame the point currently does (ORB-SLAM's
+    # mnCorrectedByKF guard): cluster observers first (datum — identity
+    # correction, loop points stay put), then moved observers (close_loop
+    # already put both in the corrected frame), else the earliest (drifted)
+    # observer. Riding the earliest observer unconditionally would apply a
+    # drifted→refined correction on top of points close_loop already moved.
+    corr = opt.inverse().compose(verts)                        # (K,) Sim3
+    obs = state.kf_member & valid[:, None]                     # (K, P)
+    prio = jnp.where(in_cluster, 0, jnp.where(move & valid, 1, 2))
+    key = prio.astype(jnp.int32) * jnp.int32(2**24) + state.kf_order
+    ref_key = jnp.where(obs, key[:, None], jnp.int32(2**30))
+    ref = jnp.argmin(ref_key, axis=0).astype(jnp.int32)        # (P,)
+    has_ref = jnp.any(obs, axis=0) & state.mp_valid
+    cr = jax.tree.map(lambda a: a[ref], corr)
+    p_new = cr.s[:, None] * jnp.einsum(
+        "pij,pj->pi", cr.R, state.mp_pos) + cr.t
+    return state._replace(
+        kf_pose=new_pose,
+        mp_pos=jnp.where(has_ref[:, None], p_new, state.mp_pos),
+        mp_dmin=jnp.where(has_ref, cr.s * state.mp_dmin, state.mp_dmin),
+        mp_dmax=jnp.where(has_ref, cr.s * state.mp_dmax, state.mp_dmax),
+    )
+
+
 def close_loop(
     map_state: MapState,
     detection: LoopDetection,
     frame: TrackedFrame,
     ki: jax.Array,
     covis_theta: int = 15,
+    essential_graph_iters: int = 0,
 ) -> MapState:
     """Apply the loop as a SIMILARITY correction (rotation + translation +
     scale) and merge duplicated map points. (The subsequent global BA — run
@@ -171,6 +345,7 @@ def close_loop(
     cluster (the loop region is the fixed datum, ORB-SLAM CorrectLoop
     semantics); their dMin/dMax viewing ranges scale by s."""
     K, P, N = map_state.capacity
+    pre_pose = map_state.kf_pose
     covis = covisibility_matrix(map_state)
     move = ((covis[ki] >= covis_theta) | (jnp.arange(K) == ki)) & map_state.kf_valid
 
@@ -213,4 +388,14 @@ def close_loop(
     dst = jnp.where(both, detection.reloc_assoc, 0)
     different = both & (src != dst)
     map_state = merge_map_points(map_state, src, dst, different)
+
+    # distribute the remaining drift over the whole trajectory (Sim(3)
+    # essential graph) before the caller's global BA polishes
+    if essential_graph_iters > 0:
+        map_state = essential_graph_refine(
+            map_state, pre_pose, move, detection.cluster_mask,
+            detection.scale, ki, pre_covis=covis,
+            iterations=essential_graph_iters,
+            covis_edge_threshold=covis_theta,
+        )
     return map_state

@@ -206,6 +206,9 @@ class SlamSession:
         self.frames_since_reloc = 10_000
         self.map_scale = 1.0
         self.last_kf_slot = 0
+        # observability: loop closures applied this session (the reference
+        # surfaces these through its Mediator loop-closure events)
+        self.n_loops_closed = 0
         self.prev_features: FrameFeatures | None = None
         self.prev_meta: tuple[int, float] | None = None  # (frame_id, timestamp)
         self._init_window: list[tuple[FrameFeatures, float]] = []  # middles
@@ -1747,6 +1750,7 @@ class SlamSession:
         self.map = close_loop(
             self.map, det, frame, jnp.int32(ki_i),
             covis_theta=self.settings.CovisibilitySettings.CovisMinThreshold,
+            essential_graph_iters=lc.EssentialGraphIterations,
         )
         self._global_ba(
             steps=max(lc.BundleAdjustSettings.NumSteps, 5),
@@ -1757,6 +1761,7 @@ class SlamSession:
         self.map = refresh_membership(self.map)
         self._det_check("LoopClosure.Close", self.map.kf_pose,
                         self.map.mp_pos)
+        self.n_loops_closed += 1
         return True
 
     def get_tracking_results_for_frames(self, frame_ids):

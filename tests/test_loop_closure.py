@@ -196,6 +196,108 @@ class TestLoopClosure:
             np.array(m2.mp_dmin)[n_pts:2 * n_pts][np.array(moved)],
             0.1 / s_drift, rtol=0.06)
 
+    def test_essential_graph_distributes_drift(self, rng):
+        """A 12-keyframe circuit with progressive monocular scale drift.
+        After the closed-form close corrects only the loop end, the Sim(3)
+        essential graph must distribute the correction over the interior
+        keyframes (OptimizeEssentialGraph role): mid-chain pose error and
+        point error shrink by >4x, and the datum + corrected ends stay put."""
+        from mageslam_tpu.runtime.loop_closure import essential_graph_refine
+        from mageslam_tpu.worldmap.map_state import refresh_membership
+
+        NK, G = 12, 16                       # keyframes, points per group
+        s_tot = 1.3
+        th = 2 * np.pi * np.arange(NK) / NK
+        c_true = np.stack([2 * np.sin(th), np.zeros(NK), 2 * np.cos(th)],
+                          1).astype(np.float32)
+        # monocular drift composes LOCALLY: each odometry step's translation
+        # is scaled by the growing local-scale error s_k (cluster kf 0-2
+        # exact), c'_k = c'_{k-1} + s_k (c_k − c_{k-1})
+        s_k = s_tot ** (np.maximum(np.arange(NK) - 2, 0) / 9.0)
+        c_drift = c_true.copy()
+        for k in range(3, NK):
+            c_drift[k] = c_drift[k - 1] + s_k[k] * (c_true[k] - c_true[k - 1])
+
+        # point groups on an outer ring; group g is first observed (and
+        # triangulated) by kf g-1, so it inherits that frame's local scale:
+        # p' = c'_{g-1} + s_{g-1} (p − c_{g-1})
+        base = np.stack([3.5 * np.sin(th), np.zeros(NK), 3.5 * np.cos(th)], 1)
+        pts_true = (base[:, None, :] + rng.uniform(-0.5, 0.5, (NK, G, 3))
+                    ).astype(np.float32)                     # (NK, G, 3)
+        own = np.maximum(np.arange(NK) - 1, 0)
+        pts_drift = (c_drift[own][:, None, :] + s_k[own][:, None, None]
+                     * (pts_true - c_true[own][:, None, :])).astype(np.float32)
+
+        move = np.zeros(NK, bool); move[[10, 11]] = True
+        cluster = np.zeros(NK, bool); cluster[:3] = True
+        # post-closed-form state: moved kfs at truth, their points (groups
+        # 10, 11 — seen by kf 10/11, not by the cluster) corrected to truth;
+        # group 0 is datum; kf 11 observes group 0 via the merge
+        kf_c = np.where(move[:, None] | cluster[:, None], c_true, c_drift)
+        pt_now = pts_drift.copy()
+        pt_now[0] = pts_true[0]
+        pt_now[10] = pts_true[10]
+        pt_now[11] = pts_true[11]
+
+        m = empty_map(K_CAP, P_CAP, N_CAP)
+        P2 = NK * G
+        m = m._replace(
+            mp_valid=m.mp_valid.at[:P2].set(True),
+            mp_pos=m.mp_pos.at[:P2].set(jnp.asarray(pt_now.reshape(-1, 3))),
+            mp_dmin=m.mp_dmin.at[:P2].set(0.1),
+            mp_dmax=m.mp_dmax.at[:P2].set(50.0),
+            mp_mean_dir=m.mp_mean_dir.at[:P2, 2].set(1.0),
+        )
+        assoc_rows = np.full((K_CAP, N_CAP), -1, np.int32)
+        for k in range(NK):
+            g2 = 0 if k == NK - 1 else k + 1   # loop merge: kf 11 sees group 0
+            assoc_rows[k, :G] = np.arange(k * G, (k + 1) * G)
+            assoc_rows[k, G:2 * G] = np.arange(g2 * G, (g2 + 1) * G)
+        m = m._replace(
+            kf_valid=m.kf_valid.at[:NK].set(True),
+            kf_order=m.kf_order.at[:NK].set(jnp.arange(NK)),
+            kf_frame_id=m.kf_frame_id.at[:NK].set(jnp.arange(NK)),
+            kf_pose=Pose(
+                m.kf_pose.R,
+                m.kf_pose.t.at[:NK].set(jnp.asarray(-kf_c))),  # R=I → t=-c
+            kf_cam=m.kf_cam.at[:NK].set(CAM),
+            kf_kp_valid=m.kf_kp_valid.at[:NK, :2 * G].set(True),
+            kf_assoc=jnp.asarray(assoc_rows),
+        )
+        m = refresh_membership(m)
+        pre_pose = Pose(m.kf_pose.R, m.kf_pose.t.at[:NK].set(
+            jnp.asarray(-c_drift)))
+        # pre-merge covisibility: the kf11<->kf0 connection didn't exist
+        from mageslam_tpu.worldmap.covisibility import covisibility_matrix
+        pre_cv = covisibility_matrix(m).at[11, 0].set(0).at[0, 11].set(0)
+
+        m2 = essential_graph_refine(
+            m, pre_pose,
+            jnp.asarray(np.pad(move, (0, K_CAP - NK))),
+            jnp.asarray(np.pad(cluster, (0, K_CAP - NK))),
+            jnp.float32(1.0 / s_tot), jnp.int32(11),
+            pre_covis=pre_cv, iterations=25)
+
+        c0 = np.array(m.kf_pose.center())[:NK]
+        c1 = np.array(m2.kf_pose.center())[:NK]
+        mid = slice(3, 10)
+        err_pre = np.linalg.norm(c0[mid] - c_true[mid], axis=1)
+        err_post = np.linalg.norm(c1[mid] - c_true[mid], axis=1)
+        assert err_pre.max() > 0.15                    # drift is material
+        assert err_post.max() < err_pre.max() / 4, (err_pre.max(),
+                                                    err_post.max())
+        # datum fixed; corrected ends held near truth by the loop block
+        # (they are soft-constrained, not frozen — ORB-SLAM semantics)
+        ends = np.array([0, 1, 2, 10, 11])
+        assert np.linalg.norm(c1[ends] - c_true[ends], axis=1).max() < 3e-2
+        # interior points follow their keyframes (no double correction of
+        # the already-corrected groups 10/11 or the datum group 0)
+        p1 = np.array(m2.mp_pos)[:P2].reshape(NK, G, 3)
+        pt_err_post = np.linalg.norm(p1 - pts_true, axis=-1)
+        pt_err_pre = np.linalg.norm(pt_now - pts_true, axis=-1)
+        assert pt_err_post.max() < max(pt_err_pre.max() / 4, 0.05), (
+            pt_err_pre.max(), pt_err_post.max())
+
     def test_no_loop_without_candidates(self, rng):
         m, bow, frames, pts, descs, n_pts = build_drifted_map(rng)
         # Ki covisible with everything similar → query for region-A keyframe 0

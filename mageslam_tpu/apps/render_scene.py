@@ -140,11 +140,26 @@ def build_scene(seed: int = 7, tex: int = 384,
         add((x0 + w, y0, z0), (0, 0, d), (0, -h, 0), maker)             # right
 
     if variant == "loop":
-        # perimeter structure only; the center stays clear for the orbit ring
-        box(-2.9, 7.0, 1.0, 2.0, 1.0, _brick)
-        box(3.0, 7.4, 1.2, 1.1, 0.9, _wood)
-        box(-3.0, 1.3, 1.0, 0.9, 0.9, _checker)
-        box(2.9, 1.0, 0.9, 1.4, 0.9, _pink_noise)
+        # perimeter structure only; the center stays clear for the orbit
+        # ring. The four pillars sit on the room diagonals and rise to 2.3 m
+        # — TALL enough to cross the orbit camera's eye line (y ≈ −0.3): on
+        # the corner-facing arc segments the walls are 2.6–4.5 m away and
+        # the parallax-to-turnover ratio r·FOV/depth collapses (translation
+        # unobservable → estimated baselines shrink → frontier starves), so
+        # each corner segment needs textured structure at ~1.5 m.
+        box(3.1, 7.2, 1.2, 2.3, 1.2, _brick)        # toward corner (4, 9)
+        box(3.1, 1.2, 1.2, 2.3, 1.2, _wood)         # toward corner (4, -1)
+        box(-3.1, 1.2, 1.2, 2.3, 1.2, _checker)     # toward corner (-4, -1)
+        box(-3.1, 7.2, 1.2, 2.3, 1.2, _pink_noise)  # toward corner (-4, 9)
+        # wall-hugging crates: mid-height depth relief along every wall so
+        # no viewpoint sees a single plane — 5-point initialization (no H/F
+        # model selection, like the reference) is ambiguous on pure planes
+        box(3.55, 4.1, 0.9, 1.9, 0.8, _blobs)        # right wall middle
+        box(-3.55, 3.6, 0.8, 2.1, 0.8, _wood)        # left wall middle
+        box(-1.2, 8.5, 1.0, 1.8, 0.9, _checker)      # back wall
+        box(1.6, 8.55, 0.8, 2.2, 0.8, _brick)        # back wall
+        box(-1.4, -0.5, 0.9, 2.0, 0.9, _pink_noise)  # front wall
+        box(1.2, -0.55, 0.8, 1.7, 0.8, _blobs)       # front wall
         add((-2.2, -1.1, -0.98), (1.6, 0, 0), (0, 1.6, 0), _blobs)   # front wall
         add((1.0, -1.3, -0.98), (1.5, 0, 0), (0, 1.3, 0), _checker)  # front wall
         add((-3.98, -1.0, 5.6), (0, 0, 1.8), (0, 1.3, 0), _wood)
@@ -174,7 +189,13 @@ def trajectory_pose_orbit(i: int, n_frames: int) -> tuple[np.ndarray, np.ndarray
     inside one covisible cluster like the default sweep."""
     t = i / max(n_frames, 1)               # frame n_frames == frame 0
     th = 2.0 * np.pi * t
-    r = 2.0
+    # ring radius sets the parallax-to-content-turnover ratio r·FOV/depth
+    # (independent of orbit speed): 2.6 m brings the nearest walls to
+    # 1.2-1.4 m so frontier triangulations get ~2.5deg of parallax per
+    # frame — enough for new-point creation to keep pace with the rotating
+    # view. At r=2.0 the ratio starves the frontier and tracking dies
+    # mid-circuit (rotation-dominant mono degeneracy).
+    r = 2.6
     c = np.array([
         r * np.sin(th),
         -0.3 + 0.06 * np.sin(4.0 * np.pi * t),
@@ -182,6 +203,67 @@ def trajectory_pose_orbit(i: int, n_frames: int) -> tuple[np.ndarray, np.ndarray
     ], np.float32)
     yaw = th                                # camera z looks along (sin, 0, cos)
     pitch = 0.04 * np.sin(6.0 * np.pi * t)
+    cy_, sy = np.cos(yaw), np.sin(yaw)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    R_yaw = np.array([[cy_, 0, -sy], [0, 1, 0], [sy, 0, cy_]], np.float32)
+    R_pitch = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]], np.float32)
+    return (R_pitch @ R_yaw).astype(np.float32), c
+
+
+def trajectory_pose_circuit(i: int, n_frames: int) -> tuple[np.ndarray, np.ndarray]:
+    """Ground-truth pose for a tangent-looking rounded-rectangle circuit —
+    the classic indoor loop-closure geometry (translation-dominant, camera
+    facing along the direction of travel; the view revisits the start only
+    when the circuit completes at frame n_frames). Counterclockwise around
+    a 4x5.6 m rounded rectangle (corner radius 1.2 m) centred in the room."""
+    a, b, rc = 2.0, 2.8, 1.2           # x/z half-extents, corner radius
+    cx0, cz0 = 0.0, 4.0                # room centre
+    sx, sz = a - rc, b - rc            # straight-segment half-lengths
+    straight_x, straight_z = 2 * sx, 2 * sz
+    corner = 0.5 * np.pi * rc
+    per = 2 * straight_x + 2 * straight_z + 4 * corner
+    t = (i / max(n_frames, 1)) % 1.0
+    s = t * per
+
+    # segments, counterclockwise from (a, cz0 - sz) heading +z
+    segs = [
+        ("s", straight_z, (a, -sz), (0.0, 1.0)),
+        ("c", corner, (sx, sz), 0.0),
+        ("s", straight_x, (sx, b), (-1.0, 0.0)),
+        ("c", corner, (-sx, sz), 0.5 * np.pi),
+        ("s", straight_z, (-a, sz), (0.0, -1.0)),
+        ("c", corner, (-sx, -sz), np.pi),
+        ("s", straight_x, (-sx, -b), (1.0, 0.0)),
+        ("c", corner, (sx, -sz), 1.5 * np.pi),
+    ]
+    x = z = dx = dz = 0.0
+    for kind, length, p, q in segs:
+        if s > length:
+            s -= length
+            continue
+        if kind == "s":
+            (x0_, z0_), (dx, dz) = p, q
+            x, z = x0_ + dx * s, z0_ + dz * s
+        else:
+            ccx, ccz = p
+            # corner turns the tangent by +90deg counterclockwise; radius
+            # vector starts perpendicular-outward from the incoming tangent
+            phi = q + s / rc
+            x = ccx + rc * np.cos(phi)
+            z = ccz + rc * np.sin(phi)
+            dx, dz = -np.sin(phi), np.cos(phi)
+        break
+    c = np.array([cx0 + x, -0.3 + 0.05 * np.sin(6.0 * np.pi * t), cz0 + z],
+                 np.float32)
+    # look 57° off-tangent toward the outside of the circuit (a side-window
+    # view): pure along-tangent viewing puts the translation at the focus
+    # of expansion where parallax vanishes, and the 5-point initializer's
+    # MaxPoseContributionZ=0.66 gate (MageSettings.h:108 — camera-z fraction
+    # of the baseline) deliberately refuses any pair whose motion is within
+    # ~49° of the optical axis. 57° keeps every frame pair's translation
+    # clearly lateral-in-view: strong per-frame parallax on the near walls.
+    yaw = np.arctan2(dx, dz) + 1.0     # forward = (sin yaw, 0, cos yaw)
+    pitch = 0.03 * np.sin(8.0 * np.pi * t)
     cy_, sy = np.cos(yaw), np.sin(yaw)
     cp, sp = np.cos(pitch), np.sin(pitch)
     R_yaw = np.array([[cy_, 0, -sy], [0, 1, 0], [sy, 0, cy_]], np.float32)
@@ -312,9 +394,10 @@ def render_sequence(n_frames: int, width: int = BASE_W, height: int = BASE_H,
     phase where loop-closure consolidation happens."""
     if supersample is None:
         supersample = 2 if width < BASE_W else 1
-    traj = {"sweep": trajectory_pose, "orbit": trajectory_pose_orbit}[trajectory]
+    traj = {"sweep": trajectory_pose, "orbit": trajectory_pose_orbit,
+            "circuit": trajectory_pose_circuit}[trajectory]
     surfaces = build_scene(
-        seed, variant="loop" if trajectory == "orbit" else "default")
+        seed, variant="default" if trajectory == "sweep" else "loop")
     for i in range(n_frames):
         R, c = traj(i, period if period is not None else n_frames)
         img = render_frame(surfaces, R, c, width, height, frame_index=i,
@@ -351,7 +434,8 @@ def _rot_to_quat_xyzw(R_cw: np.ndarray) -> np.ndarray:
 
 def write_tum_sequence(out_dir: str, n_frames: int, width: int, height: int,
                        seed: int = 7, fps: float = 30.0,
-                       trajectory: str = "sweep") -> None:
+                       trajectory: str = "sweep",
+                       period: int | None = None) -> None:
     import cv2
 
     rgb_dir = os.path.join(out_dir, "rgb")
@@ -359,7 +443,8 @@ def write_tum_sequence(out_dir: str, n_frames: int, width: int, height: int,
     rgb_lines = ["# color images", "# timestamp filename"]
     gt_lines = ["# ground truth trajectory", "# timestamp tx ty tz qx qy qz qw"]
     for img, ts, fid, R, c in render_sequence(n_frames, width, height, seed,
-                                              fps, trajectory=trajectory):
+                                              fps, trajectory=trajectory,
+                                              period=period):
         name = f"rgb/{ts:.6f}.png"
         cv2.imwrite(os.path.join(out_dir, name), img)
         rgb_lines.append(f"{ts:.6f} {name}")
@@ -381,11 +466,18 @@ def main(argv=None) -> int:
     p.add_argument("--width", type=int, default=BASE_W)
     p.add_argument("--height", type=int, default=BASE_H)
     p.add_argument("--seed", type=int, default=7)
-    p.add_argument("--trajectory", choices=("sweep", "orbit"), default="sweep",
-                   help="'orbit' = 360° outward-looking circuit (loop closure)")
+    p.add_argument("--trajectory", choices=("sweep", "orbit", "circuit"),
+                   default="sweep",
+                   help="'orbit' = 360° outward-looking ring; 'circuit' = "
+                        "tangent-looking rounded-rectangle loop")
+    p.add_argument("--period", type=int, default=None,
+                   help="frames per full trajectory cycle (default --frames); "
+                        "set below --frames to continue into the revisit "
+                        "phase where loop closure consolidates")
     args = p.parse_args(argv)
     write_tum_sequence(args.output, args.frames, args.width, args.height,
-                       args.seed, trajectory=args.trajectory)
+                       args.seed, trajectory=args.trajectory,
+                       period=args.period)
     print(f"wrote {args.frames} frames -> {args.output}")
     return 0
 

@@ -503,9 +503,27 @@ class SlamSession:
                     feats.und_xy, feats.desc, feats.valid,
                     self.cam, sub,
                     InitSettings(
+                        fundamental_transfer_error_threshold=(
+                            ms.FundamentalTransferErrorThreshold),
                         min_feature_matches=ms.MinFeatureMatches,
+                        min_scoring_inliers=ms.MinScoringInliers,
+                        min_inlier_percentage=ms.MinInlierPercentage,
+                        min_initial_map_points=ms.MinInitialMapPoints,
                         min_map_points=ms.MinMapPoints,
+                        max_parallax_3d_distance=ms.MaxParallax3dDistance,
+                        max_parallax_3d_median_distance=(
+                            ms.MaxParallax3dMedianDistance),
+                        min_candidate_pose_disimilarity=(
+                            ms.MinCandidatePoseDisimilarity),
+                        max_pose_contribution_z=ms.MaxPoseContributionZ,
                         ransac_iterations=ms.RansacIterationsForModels,
+                        max_epipolar_error=ms.MaxEpipolarError,
+                        min_pixel_spread=ms.MinPixelSpread,
+                        final_ba_huber_width=ms.BundleAdjustmentHuberWidth,
+                        # batched-LM steps ≠ g2o's inner-loop steps: keep the
+                        # round-1-validated 15 as the floor (config value 5
+                        # assumes g2o's internal convergence loop)
+                        final_ba_steps=max(ms.BundleAdjustmentG2OSteps, 15),
                     ),
                     ransac_batch=self.settings.Budgets.RansacBatch,
                 )
@@ -1457,6 +1475,8 @@ class SlamSession:
         ts = self.settings.TrackLocalMapSettings
         bas = self.settings.BundleAdjustSettings
         ks = self.settings.KeyframeSettings
+        nps = ms.NewMapPointsCreationSettings
+        per_cam = self.settings.MonoSettings.MonoCamera
         width, height = self.width, self.height
         cam = self.cam
 
@@ -1547,7 +1567,19 @@ class SlamSession:
                 num_levels=fes.NumLevels, pyramid_scale=fes.ScaleFactor,
                 image_width=width, image_height=height,
                 image_border=fes.PatchSize / 2.0,
+                max_frames=nps.MaxFramesForNewPointsCreation,
                 covis_theta=cs.CovisMinThreshold,
+                max_epipolar_error=nps.MaxEpipolarError,
+                min_distance_ratio=nps.MinAcceptedDistanceRatio,
+                min_parallax_degrees=nps.MinParallaxDegrees,
+                min_kf_distance_sq=nps.MinKeyframeDistanceForCreatingMapPointsSquared,
+                grid_w=per_cam.NewPointGridWidth,
+                grid_h=per_cam.NewPointGridHeight,
+                max_grid_count=per_cam.NewPointMaxGridCount,
+                max_hamming=nps.InitialMatcherSettings.MaxHammingDistance,
+                min_hamming_diff=nps.InitialMatcherSettings.MinHammingDifference,
+                search_radius=nps.NewMapPointsSearchRadius,
+                max_keyframe_angle_degrees=nps.MaxKeyframeAngleDegrees,
             )
             map_state = refresh_point_stats(
                 npr.state,

@@ -145,15 +145,36 @@ def try_initialize_pair(
     n2 = jnp.stack([(mxy2[:, 0] - cx) / fx, (mxy2[:, 1] - cy) / fy], axis=-1)
 
     # ---- 2. RANSAC 5-point ----
-    # sample only among valid matches: draw from the match list with
-    # probability ∝ validity (gumbel top-k per hypothesis)
+    # spread-constrained sampling, matching the reference's rejection loop
+    # (MapInitialization.cpp:209-244: re-draw until every pair in the 5-set
+    # is ≥ MinPixelSpread apart in BOTH frames). Greedy masked-gumbel builds
+    # each set in 5 steps: every draw excludes candidates within min_spread
+    # of the already-chosen points, so a valid set is found whenever one
+    # exists — a plain uniform draw + post-hoc reject discards >90% of the
+    # hypothesis budget when matches cluster in part of the image (e.g. a
+    # half-textured view), which starves RANSAC exactly where init is hard.
     keys = jax.random.split(rng_key, ransac_batch)
+    spread_sq = jnp.float32(settings.min_pixel_spread) ** 2
 
     def draw(key):
-        g = jax.random.gumbel(key, (N,)) + jnp.where(match_ok, 0.0, -1e9)
-        return jnp.argsort(-g)[:5]
+        g = jax.random.gumbel(key, (5, N))
+        # two-tier penalty: prefer spread-out candidates; if none remain,
+        # fall back to any VALID match (the set then fails _sample_spread_ok
+        # and is discarded) — never to an invalid slot
+        base = jnp.where(match_ok, 0.0, -1e12)
+        idxs = []
+        ok = match_ok
+        for t in range(5):
+            pick = jnp.argmax(g[t] + base + jnp.where(ok, 0.0, -1e9))
+            idxs.append(pick)
+            d1 = jnp.sum((mxy1 - mxy1[pick]) ** 2, axis=-1)
+            d2 = jnp.sum((mxy2 - mxy2[pick]) ** 2, axis=-1)
+            ok = ok & (d1 >= spread_sq) & (d2 >= spread_sq)
+        return jnp.stack(idxs)
 
     samples = jax.vmap(draw)(keys)                 # (B, 5)
+    # post-hoc validity: flags the (rare) sets where no spread-out choice
+    # remained and the greedy step fell back to a too-close candidate
     spread_ok = _sample_spread_ok(mxy1, mxy2, samples, settings.min_pixel_spread)
 
     E, e_valid = five_point_essential(n1[samples], n2[samples])   # (B, R, 3, 3)
@@ -208,7 +229,24 @@ def try_initialize_pair(
             l1[:, 0] ** 2 + l1[:, 1] ** 2 + 1e-20
         )
         epi = e12 + e21
-        good = match_ok & front & parallax_ok & (epi < max_epi)
+        # reprojection of the triangulated point into BOTH frames. The
+        # epipolar score is identical for every decomposition of one E, so
+        # on plane-dominant scenes the twisted-pair ghost (which keeps all
+        # points in front — the classic two-fold planar ambiguity) ties the
+        # reference's epi-only scoring and the dissimilarity gate rejects
+        # forever (MapInitialization.cpp:380-470 shares this blindness).
+        # The ghost's triangulations satisfy the epipolar constraint but
+        # NOT the projections: requiring the midpoint triangulation to
+        # actually reproject separates the poses decisively.
+        z1s = jnp.where(jnp.abs(z1) < 1e-9, 1e-9, z1)
+        r1 = jnp.hypot(fx * X[:, 0] / z1s + cx - mxy1[:, 0],
+                       fy * X[:, 1] / z1s + cy - mxy1[:, 1])
+        Xc2 = pose.transform(X)
+        z2s = jnp.where(jnp.abs(Xc2[:, 2]) < 1e-9, 1e-9, Xc2[:, 2])
+        r2 = jnp.hypot(fx * Xc2[:, 0] / z2s + cx - mxy2[:, 0],
+                       fy * Xc2[:, 1] / z2s + cy - mxy2[:, 1])
+        reproj_ok = (r1 < max_epi) & (r2 < max_epi)
+        good = match_ok & front & parallax_ok & (epi < max_epi) & reproj_ok
         p_score = jnp.sum(jnp.where(good, max_epi - epi, 0.0)) * right_ok
         n_good = jnp.sum(good.astype(jnp.int32))
         # median depth over good points

@@ -141,16 +141,20 @@ def build_scene(seed: int = 7, tex: int = 384,
 
     if variant == "loop":
         # perimeter structure only; the center stays clear for the orbit
-        # ring. The four pillars sit on the room diagonals and rise to 2.3 m
-        # — TALL enough to cross the orbit camera's eye line (y ≈ −0.3): on
-        # the corner-facing arc segments the walls are 2.6–4.5 m away and
-        # the parallax-to-turnover ratio r·FOV/depth collapses (translation
-        # unobservable → estimated baselines shrink → frontier starves), so
-        # each corner segment needs textured structure at ~1.5 m.
-        box(3.1, 7.2, 1.2, 2.3, 1.2, _brick)        # toward corner (4, 9)
-        box(3.1, 1.2, 1.2, 2.3, 1.2, _wood)         # toward corner (4, -1)
-        box(-3.1, 1.2, 1.2, 2.3, 1.2, _checker)     # toward corner (-4, -1)
-        box(-3.1, 7.2, 1.2, 2.3, 1.2, _pink_noise)  # toward corner (-4, 9)
+        # ring. The four pillars sit snug in the room corners and rise to
+        # 2.3 m — TALL enough to cross the camera's eye line (y ≈ −0.3) so
+        # corner-facing views always have textured structure, but far enough
+        # from any trajectory (≥1.7 m clearance from the circuit path) that
+        # no surface is ever seen at grazing close range. A surface closer
+        # than ~1.2 m magnifies its texture past the FAST scale: responses
+        # collapse and the global RetainBestFeatures response cut then
+        # starves the whole region (measured on the circuit: a pillar face
+        # at 0.5 m held 3/4 of the view with max response 27 vs 86 in the
+        # far sliver — 67 of 440 budget slots left of the cut).
+        box(3.3, 8.3, 1.2, 2.3, 1.2, _brick)        # corner (4, 9)
+        box(3.3, -0.3, 1.2, 2.3, 1.2, _wood)        # corner (4, -1)
+        box(-3.3, -0.3, 1.2, 2.3, 1.2, _checker)    # corner (-4, -1)
+        box(-3.3, 8.3, 1.2, 2.3, 1.2, _pink_noise)  # corner (-4, 9)
         # wall-hugging crates: mid-height depth relief along every wall so
         # no viewpoint sees a single plane — 5-point initialization (no H/F
         # model selection, like the reference) is ambiguous on pure planes
@@ -164,6 +168,24 @@ def build_scene(seed: int = 7, tex: int = 384,
         add((1.0, -1.3, -0.98), (1.5, 0, 0), (0, 1.3, 0), _checker)  # front wall
         add((-3.98, -1.0, 5.6), (0, 0, 1.8), (0, 1.3, 0), _wood)
         add((3.98, -1.3, 5.8), (0, 0, 1.7), (0, 1.5, 0), _blobs)
+        # poster ring: unique high-contrast texture at eye height every ~2 m
+        # on all four walls, so NO viewpoint ever sees self-similar brick
+        # alone — repetitive texture makes ORB matching ambiguous (measured:
+        # gather-stage match rate fell to 9/91 on a brick-only corner view
+        # and pose-only LM lost lock). Each poster gets its own rng state so
+        # the blob/checker layouts differ — uniqueness is the point.
+        for k, zc in enumerate((0.8, 2.6, 4.4, 7.6)):
+            mk = (_blobs, _checker, _wood, _pink_noise)[k % 4]
+            add((-3.98, -1.2 + 0.1 * (k % 3), zc), (0, 0, 1.4), (0, 1.5, 0), mk)
+        for k, zc in enumerate((0.6, 2.4, 4.6, 7.4)):
+            mk = (_checker, _pink_noise, _blobs, _wood)[k % 4]
+            add((3.98, -1.25 + 0.1 * (k % 3), zc), (0, 0, 1.4), (0, 1.5, 0), mk)
+        for k, xc in enumerate((-3.2, -0.4, 1.0, 2.4)):
+            mk = (_wood, _blobs, _pink_noise, _checker)[k % 4]
+            add((xc, -1.2 + 0.08 * (k % 3), 8.97), (1.2, 0, 0), (0, 1.4, 0), mk)
+        for k, xc in enumerate((-3.4, -0.6, 2.2)):
+            mk = (_pink_noise, _wood, _blobs)[k % 3]
+            add((xc, -1.15 + 0.08 * (k % 3), -0.97), (1.2, 0, 0), (0, 1.4, 0), mk)
     else:
         box(-1.8, 4.0, 1.1, 1.0, 0.9, _checker)
         box(1.5, 5.5, 1.4, 1.6, 1.0, _wood)
@@ -216,7 +238,10 @@ def trajectory_pose_circuit(i: int, n_frames: int) -> tuple[np.ndarray, np.ndarr
     facing along the direction of travel; the view revisits the start only
     when the circuit completes at frame n_frames). Counterclockwise around
     a 4x5.6 m rounded rectangle (corner radius 1.2 m) centred in the room."""
-    a, b, rc = 2.0, 2.8, 1.2           # x/z half-extents, corner radius
+    # corner radius 1.6 keeps the turn rate at ~2.2°/frame (≈66°/s at
+    # 30 fps, a realistic handheld pan) — at rc=1.2 the 3.4°/frame turn
+    # (~100°/s) outran per-frame map-point creation on repetitive texture
+    a, b, rc = 2.0, 2.8, 1.6           # x/z half-extents, corner radius
     cx0, cz0 = 0.0, 4.0                # room centre
     sx, sz = a - rc, b - rc            # straight-segment half-lengths
     straight_x, straight_z = 2 * sx, 2 * sz

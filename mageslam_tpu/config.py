@@ -190,6 +190,24 @@ class FeatureExtractorSettings:
     MaxRobustnessFactor: float = 2.0
     NumCellsX: int = 32
     NumCellsY: int = 32
+    # EXTENSION (not in MageSettings.h): spatially-uniform feature selection.
+    # The reference's RetainBestFeatures (OpenCVModified.cpp:571-613) cuts the
+    # candidate pool by a GLOBAL response histogram before ANMS; when one image
+    # region is much higher-contrast than the rest (e.g. a close low-texture
+    # surface filling most of the view), that region's candidates monopolise
+    # the budget and tracking starves elsewhere. When true, selection instead
+    # ranks candidates by (response-rank within grid cell, response) — a
+    # round-robin over cells that guarantees every textured cell a share of
+    # the budget while degrading gracefully to response order when cells are
+    # empty. False (default) reproduces the reference pipeline exactly.
+    # Applies to TRACKING frames only: while the session is uninitialized the
+    # frontend always uses the reference selection — 5-point init needs the
+    # strongest, most repeatable corners, and round-robin selection drops
+    # mutual match counts below MinFeatureMatches on small baselines
+    # (measured on the photoreal sweep: 45-60 vs 61-78 two-way matches).
+    SpatialFeatureSelection: bool = False
+    SpatialSelectionGridX: int = 8
+    SpatialSelectionGridY: int = 6
 
     @property
     def ImageBorder(self) -> float:
@@ -508,19 +526,95 @@ def to_dict(settings: Any) -> dict[str, Any]:
 
 
 def golden_path_settings() -> MageSlamSettings:
-    """Settings equivalent to the Console golden path (Apps/Console/console.cpp:91-289):
-    440 features, 1 pyramid level, FAST threshold 4, UseFuser=false, loop closure on
-    with 25-step global BA."""
-    s = MageSlamSettings()
-    s = dataclasses.replace(
-        s,
-        FuserSettings=dataclasses.replace(s.FuserSettings, UseFuser=False),
-        LoopClosureSettings=dataclasses.replace(
-            s.LoopClosureSettings,
-            EnableLoopClosure=True,
-            BundleAdjustSettings=dataclasses.replace(
-                s.LoopClosureSettings.BundleAdjustSettings, NumSteps=25
-            ),
-        ),
-    )
-    return s
+    """The COMPLETE Console golden-path configuration — every override the
+    reference console applies on top of MageSettings.h defaults
+    (Apps/Console/console.cpp:91-289), not just the headline ones. These are
+    MAGE's actually-tuned operating point (tight TLM radius/outlier gates,
+    MinKeyframeDistanceForCreatingMapPointsSquared=0.25 as the absolute
+    triangulation-baseline floor that blocks monocular scale collapse,
+    MinMapPointRefinementCount=1, CovisMinThreshold=10, ...)."""
+    return load_settings({
+        "FuserSettings": {"UseFuser": False},
+        "Metadata": {"TrackingWidth": 320},
+        "BundleAdjustSettings": {"MaxOutlierError": 3.0, "HuberWidth": 0.9},
+        "GraphOptimizationSettings": {"MaxOutlierError": 3.5},
+        "LoopClosureSettings": {
+            "EnableLoopClosure": True,
+            "BundleAdjustSettings": {
+                "MinSteps": 25, "NumSteps": 25, "NumStepsPerRun": 25,
+                "HuberWidth": 0.372231, "MaxOutlierError": 7.25,
+            },
+            "CheapLoopClosureMatchingSettings": {
+                "MaxHammingDistance": 35, "MinHammingDifference": 1},
+            "MapMergeMatchingSettings": {
+                "MaxHammingDistance": 20, "MinHammingDifference": 1},
+        },
+        "KeyframeSettings": {"KeyframeDecisionMaxTrackingPointOverlap": 0.5},
+        "PoseEstimationSettings": {
+            "MinMapPointRefinementCount": 1,
+            "OrbMatcherSettings": {
+                "MaxHammingDistance": 30, "MinHammingDifference": 1},
+        },
+        "RelocalizationSettings": {
+            "OrbMatcherSettings": {
+                "MaxHammingDistance": 40, "MinHammingDifference": 1},
+        },
+        "CovisibilitySettings": {"CovisMinThreshold": 10},
+        "TrackLocalMapSettings": {
+            "MaxOutlierError": 2.25,
+            "MaxOutlierErrorPoseEstimation": 4.0,
+            "MatchSearchRadius": 4.0,
+            "InitialPoseEstimateBundleAdjustmentHuberWidth": 3.25,
+            "MinMapPointRefinementCount": 1,
+            "RecentMapPointPctSuccess": 0.25,
+            "OrbMatcherSettings": {
+                "MaxHammingDistance": 35, "MinHammingDifference": 1},
+        },
+        "PoseHistorySettings": {
+            "InitalInterpolationConnections": 4,
+            "MaxInterpolationConnections": 6,
+        },
+        "MappingSettings": {
+            "NewMapPointsCreationSettings": {
+                "MaxEpipolarError": 5.5,
+                "NewMapPointsSearchRadius": 11.0,
+                "MinParallaxDegrees": 0.25,
+                "MinKeyframeDistanceForCreatingMapPointsSquared": 0.25,
+                "InitialMatcherSettings": {
+                    "MaxHammingDistance": 25, "MinHammingDifference": 1},
+                "AssociateMatcherSettings": {
+                    "MaxHammingDistance": 35, "MinHammingDifference": 1},
+            },
+        },
+        "RuntimeSettings": {"TrackingReadsPerLoopClosure": 0},
+        "MonoSettings": {
+            "MonoCamera": {
+                "KeyframeDecisionAllowedEmptyCellPercentage": 0.6,
+                "FeatureExtractorSettings": {
+                    "NumFeatures": 440, "ScaleFactor": 1.5, "NumLevels": 1,
+                    "FastThreshold": 4, "PatchSize": 15, "FeatureFactor": 1.5,
+                    "StrongResponse": 20, "MinRobustnessFactor": 1.1,
+                    "MaxRobustnessFactor": 2.2,
+                },
+            },
+            "MonoMapInitializationSettings": {
+                "MinInlierPercentage": 0.65,
+                "MinInitialMapPoints": 40,
+                "FeatureCovisibilityThreshold": 0.35,
+                "MaxInitializationIntervalMilliseconds": 330,
+                "FinalBA_HuberWidth": 0.75,
+                "FivePointMatchingSettings": {
+                    "MaxHammingDistance": 30, "MinHammingDifference": 1},
+                "ExtraFrameMatchingSettings": {
+                    "MaxHammingDistance": 30, "MinHammingDifference": 1},
+                "NewMapPointsCreationSettings": {
+                    "MaxEpipolarError": 2.0,
+                    "NewMapPointsSearchRadius": 7.0,
+                    "InitialMatcherSettings": {
+                        "MaxHammingDistance": 30, "MinHammingDifference": 1},
+                    "AssociateMatcherSettings": {
+                        "MaxHammingDistance": 35, "MinHammingDifference": 1},
+                },
+            },
+        },
+    })

@@ -134,3 +134,49 @@ def adaptive_nms(
 
     # reference skips ANMS when numToKeep > candidate count (keep everything)
     return jnp.where(n_valid <= num_to_keep, valid, keep)
+
+
+@partial(jax.jit, static_argnames=("num_to_keep", "grid_w", "grid_h"))
+def spatial_select(
+    xy: jax.Array,
+    response: jax.Array,
+    valid: jax.Array,
+    num_to_keep: int,
+    image_width: int,
+    image_height: int,
+    grid_w: int = 8,
+    grid_h: int = 6,
+) -> jax.Array:
+    """Spatially-uniform budget selection (EXTENSION — see
+    config.FeatureExtractorSettings.SpatialFeatureSelection).
+
+    Candidates are ranked per grid cell by response, then selected globally by
+    the composite key (rank-in-cell ascending, response descending): every
+    cell's strongest candidate outranks any cell's second-strongest, so the
+    budget round-robins across textured cells regardless of absolute contrast.
+    Empty cells donate their share to the next ranks — coverage degrades to
+    plain response order, never below it. One all-pairs pass + one top_k:
+    the same TPU shape as the exact ANMS above.
+    """
+    k = xy.shape[0]
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    gx = jnp.clip((xy[:, 0] * grid_w / image_width).astype(jnp.int32), 0, grid_w - 1)
+    gy = jnp.clip((xy[:, 1] * grid_h / image_height).astype(jnp.int32), 0, grid_h - 1)
+    cell = jnp.where(valid, gx + gy * grid_w, -1)
+
+    # rank within cell: number of strictly-better same-cell candidates
+    # (response desc, index asc tiebreak — a total order, so ranks are unique)
+    resp = jnp.where(valid, response, -jnp.inf)
+    idx = jnp.arange(k)
+    better = (resp[None, :] > resp[:, None]) | (
+        (resp[None, :] == resp[:, None]) & (idx[None, :] < idx[:, None])
+    )
+    same_cell = (cell[None, :] == cell[:, None]) & valid[None, :] & valid[:, None]
+    rank_in_cell = jnp.sum((same_cell & better).astype(jnp.int32), axis=1)
+
+    # composite key, exact in f32: rank < k <= 2048, response u8-clamped
+    key = -rank_in_cell.astype(jnp.float32) * 1024.0 + jnp.clip(resp, 0.0, 255.0)
+    key = jnp.where(valid, key, -jnp.inf)
+    _, top_idx = jax.lax.top_k(key, min(num_to_keep, k))
+    keep = jnp.zeros((k,), bool).at[top_idx].set(True)
+    return jnp.where(n_valid <= num_to_keep, valid, keep & valid)

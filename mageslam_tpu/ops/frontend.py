@@ -56,14 +56,22 @@ def _level_features(
     score = fast_mod.nms3x3(score)
     xy, resp, valid = fast_mod.extract_candidates(score, CANDIDATES_PER_LEVEL, border)
 
-    max_num = int(n_level * fes.FeatureFactor)
-    valid = anms_mod.retain_best_features(
-        resp, valid, n_level, max_num, fes.FastThreshold, fes.FeatureStrength
-    )
-    valid = anms_mod.adaptive_nms(
-        xy, resp, valid, n_level, fes.FastThreshold, fes.StrongResponse,
-        fes.MinRobustnessFactor, fes.MaxRobustnessFactor,
-    )
+    if fes.SpatialFeatureSelection:
+        # EXTENSION path: per-cell round-robin selection replaces the global
+        # response cut + ANMS (see config.py SpatialFeatureSelection)
+        valid = anms_mod.spatial_select(
+            xy, resp, valid, n_level, img.shape[1], img.shape[0],
+            fes.SpatialSelectionGridX, fes.SpatialSelectionGridY,
+        )
+    else:
+        max_num = int(n_level * fes.FeatureFactor)
+        valid = anms_mod.retain_best_features(
+            resp, valid, n_level, max_num, fes.FastThreshold, fes.FeatureStrength
+        )
+        valid = anms_mod.adaptive_nms(
+            xy, resp, valid, n_level, fes.FastThreshold, fes.StrongResponse,
+            fes.MinRobustnessFactor, fes.MaxRobustnessFactor,
+        )
 
     # compact survivors into exactly n_level slots (strongest first)
     key = jnp.where(valid, resp + 1.0, -jnp.inf)

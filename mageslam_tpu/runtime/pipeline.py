@@ -17,6 +17,7 @@ failures flipping to relocalization (MageSettings.h:191, Runtime.cpp:281-302).
 
 from __future__ import annotations
 
+import dataclasses
 import enum
 from typing import NamedTuple
 
@@ -201,6 +202,16 @@ class SlamSession:
         self._chunk_pipeline_depth = 2
 
         self.initialized = False
+        # bootstrap frontend: SpatialFeatureSelection (the round-robin
+        # EXTENSION, config.py) trades peak corner strength for coverage —
+        # right for tracking an existing map, wrong for 5-point init, where
+        # weaker/less-repeatable corners drop mutual matches below
+        # MinFeatureMatches and smear the fundamental-transfer inlier set.
+        # While uninitialized, extract with the reference selection
+        # (RetainBestFeatures + ANMS); switch to spatial after adoption.
+        self._fes_boot = (
+            dataclasses.replace(self.fes, SpatialFeatureSelection=False)
+            if self.fes.SpatialFeatureSelection else self.fes)
         self.lost_count = 0
         self.frames_since_keyframe = 0
         self.frames_since_reloc = 10_000
@@ -239,7 +250,9 @@ class SlamSession:
             if not hasattr(self, "_undistort_jit"):
                 self._undistort_jit = jax.jit(self._preprocess_image)
             image = self._undistort_jit(image)
-        feats = detect_and_compute(image, self.cam16, self.fes, self.N)
+        feats = detect_and_compute(
+            image, self.cam16,
+            self.fes if self.initialized else self._fes_boot, self.N)
         return self.process_features(feats, timestamp, frame_id)
 
     def process_features_pipelined(self, feats: FrameFeatures, timestamp: float,

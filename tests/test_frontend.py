@@ -81,6 +81,48 @@ def test_anms_selects_spatially_distributed(rng):
     assert keep[64:128].sum() >= 10  # spread corners survive
 
 
+def test_spatial_select_round_robins_cells(rng):
+    # a dominant high-contrast cluster holding more candidates than the whole
+    # budget, plus weak corners spread over the rest of the image: the default
+    # RetainBestFeatures response cut hands the cluster the entire budget;
+    # spatial_select must give every populated cell a share
+    k = 1024
+    xy = np.zeros((k, 2), np.float32)
+    resp = np.zeros((k,), np.float32)
+    xy[:512, 0] = rng.uniform(280, 318, 512)       # right sliver (one cell col)
+    xy[:512, 1] = rng.uniform(2, 178, 512)
+    resp[:512] = rng.uniform(60.0, 250.0, 512)     # strong
+    xy[512:900, 0] = rng.uniform(2, 278, 388)      # spread over the rest
+    xy[512:900, 1] = rng.uniform(2, 178, 388)
+    resp[512:900] = rng.uniform(5.0, 12.0, 388)    # weak
+    valid = np.zeros((k,), bool)
+    valid[:900] = True
+    keep = np.asarray(anms_mod.spatial_select(
+        jnp.asarray(xy), jnp.asarray(resp), jnp.asarray(valid),
+        num_to_keep=440, image_width=320, image_height=180,
+        grid_w=8, grid_h=6,
+    ))
+    assert keep.sum() == 440
+    # the weak-but-spread corners hold their cells' share of the budget
+    assert keep[512:900].sum() >= 300
+    # within a cell, stronger candidates win before weaker ones
+    gx = np.clip((xy[:, 0] * 8 / 320).astype(int), 0, 7)
+    gy = np.clip((xy[:, 1] * 6 / 180).astype(int), 0, 5)
+    cell = gx + gy * 8
+    for c in np.unique(cell[keep]):
+        in_cell = valid & (cell == c)
+        kept_r = resp[keep & in_cell]
+        dropped_r = resp[in_cell & ~keep]
+        if len(kept_r) and len(dropped_r):
+            assert kept_r.min() >= dropped_r.max()
+    # degenerate case: fewer candidates than budget keeps everything
+    keep2 = np.asarray(anms_mod.spatial_select(
+        jnp.asarray(xy[:100]), jnp.asarray(resp[:100]),
+        jnp.asarray(valid[:100]), num_to_keep=440,
+        image_width=320, image_height=180))
+    assert keep2.sum() == 100
+
+
 def test_retain_best_features_bins():
     resp = jnp.asarray(np.array([250, 250, 100, 90, 10, 5, 3, 0], np.float32))
     valid = jnp.asarray(np.array([1, 1, 1, 1, 1, 1, 1, 0], bool))
@@ -141,3 +183,27 @@ def test_detect_and_compute_multilevel(rng):
     # level-1 coords are scaled back to level-0 frame
     xy = np.asarray(ff.xy)[v]
     assert (xy[:, 0] < 320).all() and (xy[:, 1] < 180).all()
+
+
+def test_spatial_selection_bootstrap_gating():
+    # the round-robin EXTENSION applies to tracking frames only: an
+    # uninitialized session must extract with the reference selection
+    # (see config.SpatialFeatureSelection + pipeline._fes_boot)
+    import dataclasses
+    from mageslam_tpu.config import golden_path_settings
+    from mageslam_tpu.runtime import SlamSession
+
+    s = golden_path_settings()
+    fes = dataclasses.replace(
+        s.MonoSettings.MonoCamera.FeatureExtractorSettings,
+        SpatialFeatureSelection=True)
+    s = dataclasses.replace(s, MonoSettings=dataclasses.replace(
+        s.MonoSettings, MonoCamera=dataclasses.replace(
+            s.MonoSettings.MonoCamera, FeatureExtractorSettings=fes)))
+    sess = SlamSession(s, image_width=320, image_height=180)
+    assert sess.fes.SpatialFeatureSelection
+    assert not sess._fes_boot.SpatialFeatureSelection
+    # default-config sessions share the same object (no extra jit cache key)
+    sess2 = SlamSession(golden_path_settings(),
+                        image_width=320, image_height=180)
+    assert sess2._fes_boot is sess2.fes

@@ -19,17 +19,25 @@ W, H = 320.0, 180.0
 CAM = jnp.array([260.0, 260.0, 160.0, 90.0])
 
 
-def make_world(rng, n=400):
+def make_world(rng, n=600):
+    # x extends to +9 so the sweep still sees fresh structure at the far end
+    # (console keyframe cadence: overlap < 0.5 fires after ~2.5 units of
+    # travel, so the run must cover several units without starving the view)
     pts = np.stack([
-        rng.uniform(-4, 4, n), rng.uniform(-2.5, 2.5, n), rng.uniform(3, 10, n),
+        rng.uniform(-4, 9, n), rng.uniform(-2.5, 2.5, n), rng.uniform(3, 10, n),
     ], 1).astype(np.float32)
     descs = rng.randint(0, 2**31, (n, 8)).astype(np.uint32)
     return pts, descs
 
 
 def pose_at(t):
-    """Camera translating along +x with slight y wobble, looking at +z."""
-    c = np.array([0.9 * t, 0.06 * np.sin(2 * t), 0.0], np.float32)
+    """Camera translating along +x with slight y wobble, looking at +z.
+
+    1.8 units/s: the console config's MaxInitializationIntervalMilliseconds=
+    330 caps init pairs at 10 frames apart, and MaxParallax3dMedianDistance=20
+    needs baseline ≥ medianDepth/20 ≈ 0.33 here — reachable in ~6 frames at
+    this speed (the old 0.9 u/s needed 11+ frames and could never init)."""
+    c = np.array([1.8 * t, 0.06 * np.sin(2 * t), 0.0], np.float32)
     return Pose(jnp.eye(3), jnp.array(-c))
 
 
@@ -65,7 +73,7 @@ def session_run():
     settings = golden_path_settings()
     sess = SlamSession(settings, cam=CAM, image_width=int(W), image_height=int(H))
     true_centers = []
-    n_frames = 40
+    n_frames = 60
     for i in range(n_frames):
         t = i * 0.033
         pose = pose_at(t * 1.0)
@@ -81,9 +89,9 @@ class TestPipeline:
         states = [r.state for r in sess.results]
         assert sess.initialized
         # the median-depth parallax gate (MaxParallax3dMedianDistance=20) needs
-        # baseline ≥ ~5% of median depth → ~0.45 units of travel ≈ frame 14 here
+        # baseline ≥ ~5% of median depth → ~0.35 units of travel ≈ frame 6 here
         first_track = next(i for i, s in enumerate(states) if s == TrackingState.TRACKING)
-        assert first_track < 18, f"slow init: {states[:18]}"
+        assert first_track < 12, f"slow init: {states[:12]}"
         tracked = sum(s == TrackingState.TRACKING for s in states)
         assert tracked >= len(states) - first_track - 2, states
 
@@ -108,7 +116,7 @@ class TestPipeline:
         scale = np.sum(est_c * gt_c) / max(np.sum(est_c * est_c), 1e-12)
         err = np.linalg.norm(est_c * scale - gt_c, axis=1)
         rmse = np.sqrt((err ** 2).mean())
-        # ~2.4 units of total travel; ATE under 5%
+        # ~3.5 units of total travel; ATE well under 5%
         assert rmse < 0.12, f"ATE RMSE {rmse}"
 
     def test_fossilize_with_global_ba(self, session_run):
@@ -390,15 +398,14 @@ class TestLongRun:
         pts, descs = make_world(rng2, n=500)
         sess = SlamSession(cam=CAM, image_width=int(W), image_height=int(H))
 
-        def center(t):
-            # out-and-back sweep: forces keyframes then revisits
-            return np.array([1.2 * np.sin(0.5 * t), 0.05 * np.sin(2 * t), 0.0],
-                            np.float32)
-
         def pose(t):
-            c = center(t)
-            if t < 0.6:   # initial linear leg for parallax
-                c = np.array([0.9 * t, 0.0, 0.0], np.float32)
+            # continuous out-and-back sweep: forces keyframes then revisits.
+            # Initial speed 1.9*0.95 ≈ 1.8 u/s reaches the median-depth init
+            # baseline inside the console config's 330 ms pair window (see
+            # pose_at); the turnaround at t≈1.65 s (frame 50) starts the
+            # revisit leg that exercises culling.
+            c = np.array([3.2 * np.sin(0.6 * t), 0.05 * np.sin(2 * t), 0.0],
+                         np.float32)
             return Pose(jnp.eye(3), jnp.asarray(-c))
 
         for i in range(120):

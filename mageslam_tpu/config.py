@@ -532,7 +532,12 @@ def golden_path_settings() -> MageSlamSettings:
     MAGE's actually-tuned operating point (tight TLM radius/outlier gates,
     MinKeyframeDistanceForCreatingMapPointsSquared=0.25 as the absolute
     triangulation-baseline floor that blocks monocular scale collapse,
-    MinMapPointRefinementCount=1, CovisMinThreshold=10, ...)."""
+    MinMapPointRefinementCount=1, CovisMinThreshold=10, ...).
+
+    One deliberate deviation: EnableLoopClosure=True. The reference console
+    leaves the MageSettings.h default (false, MageSettings.h:198) even though
+    it tunes the loop-closure BA parameters; we enable it so the golden path
+    exercises the full capability."""
     return load_settings({
         "FuserSettings": {"UseFuser": False},
         "Metadata": {"TrackingWidth": 320},

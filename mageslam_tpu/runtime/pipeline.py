@@ -398,6 +398,8 @@ class SlamSession:
                     min_accepted_distance_ratio=ss.MinAcceptedDistanceRatio,
                     initialization_tether_strength=ss.InitializationTetherStrength,
                     max_depth_meters=ss.MaxDepthMeters,
+                    max_hamming=ss.OrbMatcherSettings.MaxHammingDistance,
+                    min_hamming_diff=ss.OrbMatcherSettings.MinHammingDifference,
                 ),
             )
             if bool(res.succeeded):
@@ -537,6 +539,10 @@ class SlamSession:
                         # round-1-validated 15 as the floor (config value 5
                         # assumes g2o's internal convergence loop)
                         final_ba_steps=max(ms.BundleAdjustmentG2OSteps, 15),
+                        max_hamming_dist=(
+                            ms.FivePointMatchingSettings.MaxHammingDistance),
+                        min_hamming_diff=(
+                            ms.FivePointMatchingSettings.MinHammingDifference),
                     ),
                     ransac_batch=self.settings.Budgets.RansacBatch,
                 )
@@ -556,6 +562,10 @@ class SlamSession:
                         min_pct=ms.MinThirdFrameMatchPercentage,
                         max_err=ms.ExtraFrame_MaxOutlierError,
                         ba_iters=ms.ExtraFrame_BundleAdjustmentSteps,
+                        max_hamming=(
+                            ms.ExtraFrameMatchingSettings.MaxHammingDistance),
+                        min_diff=(
+                            ms.ExtraFrameMatchingSettings.MinHammingDifference),
                     ))
                 if ok:
                     self._det_check("Init.Accepted", res.pose2,

@@ -67,8 +67,13 @@ class InitSettings(NamedTuple):
     final_ba_max_outlier_error: float = 4.0
     final_ba_max_outlier_error_scale: float = 0.75
     final_ba_steps: int = 15
-    max_hamming_dist: int = 45
-    min_hamming_diff: int = 8
+    # OrbMatcherSettings defaults (MageSettings.h:36-39) — the console golden
+    # path keeps these for FivePointMatchingSettings. 45/8 here (a previous
+    # overtightened guess) made RANSAC converge on ghost essentials on
+    # repetitive texture: fewer, ratio-test-starved matches scored a
+    # z-dominant wrong pose above the true lateral one.
+    max_hamming_dist: int = 30
+    min_hamming_diff: int = 1
 
 
 class InitResult(NamedTuple):
@@ -213,7 +218,14 @@ def try_initialize_pair(
         X = triangulate_midpoint_pair(pose, n1, n2)              # (N, 3) world (frame1)
         z1 = X[:, 2]
         scale = 1.0 / jnp.maximum(jnp.sum(pose.center() ** 2), 1e-12)
-        front = z1 > 0
+        # cheirality in BOTH cameras: the twisted-pair ghost triangulates its
+        # points BEHIND camera 2 (measured: 0/212 front-of-2 for the ghost vs
+        # 212/212 for the true pose on a wall-dominant view) while the
+        # negative-depth projection x/z can still land on the feature, so a
+        # z1-only gate + reprojection radius lets the ghost tie the true pose
+        # (0.5% score margin) and the dissimilarity gate then rejects BOTH.
+        Xc2_front = pose.transform(X)
+        front = (z1 > 0) & (Xc2_front[:, 2] > 0)
         parallax_ok = z1 * scale <= settings.max_parallax_3d_distance
         # symmetric epipolar error in pixels against best_E's fundamental
         Fp = jnp.einsum("ji,jk,kl->il", Kinv, best_E, Kinv)
@@ -328,7 +340,8 @@ def try_initialize_pair(
     )
 
 
-@partial(jax.jit, static_argnames=("min_pct", "ba_iters"))
+@partial(jax.jit, static_argnames=("min_pct", "ba_iters", "max_hamming",
+                                   "min_diff"))
 def validate_third_frame(
     result: InitResult,
     anchor_desc: jax.Array, anchor_valid: jax.Array,
@@ -338,6 +351,8 @@ def validate_third_frame(
     min_pct: float = 0.5,          # MinThirdFrameMatchPercentage
     max_err: float = 8.0,          # ExtraFrame_MaxOutlierError
     ba_iters: int = 5,             # ExtraFrame_BundleAdjustmentSteps
+    max_hamming: int = 30,         # ExtraFrameMatchingSettings
+    min_diff: int = 1,
 ) -> jax.Array:
     """Locate a third (middle) frame against the freshly triangulated pair map
     and require enough BA inliers (the reference's 2(+1)-frame bootstrap:
@@ -348,7 +363,7 @@ def validate_third_frame(
     # third-frame keypoints ↔ map points via the anchor frame's descriptors
     # (result.feat1 slots ARE anchor feature slots)
     m_idx, _ = match_two_way(anchor_desc, anchor_valid & result.point_valid,
-                             third_desc, third_valid, 45, 8)
+                             third_desc, third_valid, max_hamming, min_diff)
     has = m_idx >= 0
     n_matches = jnp.sum(has.astype(jnp.int32))
     t_safe = jnp.where(has, m_idx, 0)

@@ -38,8 +38,9 @@ class StereoInitSettings(NamedTuple):
     min_accepted_distance_ratio: float = 2.0
     initialization_tether_strength: float = 50.0
     max_depth_meters: float = 2.3
-    max_hamming: int = 45
-    min_hamming_diff: int = 8
+    # OrbMatcherSettings defaults (MageSettings.h:36-39, BAG_PROPERTY at :145)
+    max_hamming: int = 30
+    min_hamming_diff: int = 1
     ba_steps: int = 15
     ba_huber_width: float = 1.8
 

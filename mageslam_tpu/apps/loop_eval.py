@@ -1,0 +1,151 @@
+"""Loop-closure evaluation on photoreal imagery: the 360° orbit circuit.
+
+The golden-path console (console.py) measures open-loop tracking accuracy on
+the sweep trajectory; this runner exercises the other headline capability —
+LoopClosureWorker detect/close (reference:
+Core/MAGESLAM/Source/Tasks/LoopClosureWorker.cpp) — on rendered pixels. The
+camera rides a ring near the room center looking radially outward
+(render_scene.trajectory_pose_orbit): one full revolution sweeps the whole
+room exactly once, so covisibility with the first keyframes decays to zero
+and the final frames are a genuine revisit (DetectLoop's non-covisible
+similar-cluster geometry), with a monocular scale/pose drift accumulated
+around the ring for CloseLoop's Sim(3) correction to repair.
+
+Reports per-phase tracking health, loop-closure events, and ATE RMSE
+(Umeyama-aligned, TUM protocol) before the final fossilize global BA.
+
+Usage:
+  python -m mageslam_tpu.apps.loop_eval [--frames 336] [--period 288]
+(force local CPU under the axon relay: env -u PALLAS_AXON_POOL_IPS
+ JAX_PLATFORMS=cpu — see EVAL.md.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def loop_profile_settings(grid_count: int = 12,
+                          pose_dissimilarity: float = 0.05,
+                          min_move_ratio: float = 0.02):
+    """Golden-path settings + the mapping-heavy loop profile.
+
+    Three deviations from the console golden point, all reference settings
+    (MageSettings.h), all documented against measurements:
+
+    - MinFrameMoveToMinDepthRatio 0.13→0.02 (the MageSettings.h DEFAULT —
+      the console tightened it for its translation-dominant scenario). The
+      moved_enough keyframe gate measures TRANSLATION only
+      (NewKeyFrameDecision.cpp:41-63); on a full-pan trajectory the camera
+      rotates through fresh content while barely translating, so at 0.13
+      keyframes stop firing and new-point creation starves (measured, all
+      else equal: 46 keyframes, 212/336 tracked, no loop, ATE 0.237 m at
+      0.13 vs 149 keyframes, 328/336 tracked, loop closed, ATE 0.118 m
+      at 0.02).
+
+    - NewPointMaxGridCount 6→12: the golden value caps the in-view map at
+      4×3×6 = 72 points; with the synthetic renderer's frame-to-frame
+      keypoint repeatability (~50% under motion at FAST threshold 4, vs
+      ~70-85% for real cameras — see render_scene.py noise notes) that
+      leaves ~35 tracked points, right at the tracking-failure gate on a
+      full-pan trajectory. Doubling the per-cell cap restores the margin
+      the reference enjoys on real imagery (measured, all else equal:
+      133/336 frames tracked, no loop at cap 6 vs 328/336 with the loop
+      detected and closed at cap 12).
+    - MinCandidatePoseDisimilarity 0.3→0.05: the init disambiguation gate.
+      The rebuild's pose disambiguation already reprojection-gates the
+      twisted-pair ghost (tracking/map_init.py), making the reference's
+      epi-score-dissimilarity gate largely redundant. Kept at the measured
+      operating point; on this sequence the init pair passes both values
+      identically (bit-identical runs), so it only guards against a
+      plane-ambiguous init delaying the bootstrap."""
+    import dataclasses
+
+    from ..config import golden_path_settings
+
+    s = golden_path_settings()
+    pc = s.MonoSettings.MonoCamera
+    init = s.MonoSettings.MonoMapInitializationSettings
+    return dataclasses.replace(
+        s,
+        KeyframeSettings=dataclasses.replace(
+            s.KeyframeSettings, MinFrameMoveToMinDepthRatio=min_move_ratio),
+        MonoSettings=dataclasses.replace(
+            s.MonoSettings,
+            MonoCamera=dataclasses.replace(
+                pc, NewPointMaxGridCount=grid_count),
+            MonoMapInitializationSettings=dataclasses.replace(
+                init, MinCandidatePoseDisimilarity=pose_dissimilarity)))
+
+
+def run_orbit_eval(n_frames: int = 336, period: int = 288,
+                   width: int = 320, height: int = 180,
+                   trajectory: str = "orbit", verbose: bool = True,
+                   settings=None):
+    """Drive the orbit sequence through SlamSession.process_frame.
+
+    Returns dict with tracked count, keyframes, loops_closed, ate_rmse,
+    n_poses, and the per-frame state list."""
+    import jax.numpy as jnp
+
+    from ..runtime import SlamSession, TrackingState
+    from .evaluate import ate_rmse
+    from .render_scene import CX, CY, FX, FY, render_sequence
+
+    s = settings if settings is not None else loop_profile_settings()
+    sx, sy = width / 640.0, height / 480.0
+    cam = jnp.array([FX * sx, FY * sy, CX * sx, CY * sy], jnp.float32)
+    sess = SlamSession(s, cam=cam, image_width=width, image_height=height)
+
+    gt_ts, gt_c, states = [], [], []
+    ts_by_id = {}
+    t0 = time.time()
+    for img, ts, fid, _R, c in render_sequence(
+            n_frames, width, height, trajectory=trajectory, period=period):
+        r = sess.process_frame(img.astype(np.float32), ts, fid)
+        states.append(r.state)
+        gt_ts.append(ts)
+        gt_c.append(c)
+        ts_by_id[fid] = ts
+        if verbose and (fid % 24 == 0 or r.state != TrackingState.TRACKING):
+            print(f"f{fid:3d} {360.0 * fid / period:5.1f}deg "
+                  f"state={r.state.name} loops={sess.n_loops_closed} "
+                  f"({time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
+
+    ids, mats = sess.fossilize(global_ba_steps=None)
+    est_ts = np.array([ts_by_id[int(i)] for i in ids])
+    est_c = np.array([-m[:3, :3].T @ m[:3, 3] for m in mats])
+    rmse, n = ate_rmse(est_ts, est_c, np.array(gt_ts), np.array(gt_c))
+    tracked = sum(st == TrackingState.TRACKING for st in states)
+    return {
+        "tracked": tracked,
+        "n_frames": n_frames,
+        "keyframes": int(np.asarray(sess.map.kf_valid).sum()),
+        "loops_closed": sess.n_loops_closed,
+        "ate_rmse": float(rmse),
+        "n_poses": int(n),
+        "states": states,
+        "elapsed_s": time.time() - t0,
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--frames", type=int, default=336)
+    p.add_argument("--period", type=int, default=288)
+    p.add_argument("--trajectory", default="orbit",
+                   choices=["orbit", "circuit", "sweep"])
+    args = p.parse_args()
+    r = run_orbit_eval(args.frames, args.period, trajectory=args.trajectory)
+    print(f"tracked {r['tracked']}/{r['n_frames']}  "
+          f"keyframes {r['keyframes']}  loops_closed {r['loops_closed']}  "
+          f"ATE RMSE {r['ate_rmse']:.4f} m over {r['n_poses']} poses  "
+          f"({r['elapsed_s']:.0f}s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -62,13 +62,49 @@ def _pink_noise(rng: np.random.Generator, n: int, alpha: float = 1.8) -> np.ndar
     return ((img - lo) / max(hi - lo, 1e-9)).astype(np.float32)
 
 
+_detail_counter = [0]
+
+
+def _detail(rng: np.random.Generator, n: int, strength: float = 0.4) -> np.ndarray:
+    """Fine-scale multiplicative detail layer (near-white 1/f^1.1 noise).
+
+    Real surfaces are fractal — paint grain, paper fiber, wear marks carry
+    corner energy at EVERY magnification. A texture whose power lives at one
+    coarse scale turns into featureless flats when the camera gets close
+    (measured: the 360° orbit lost tracking at 85° when a 1.4 m blob poster
+    at 1.4 m filled the view with 40 px uniform patches). The coarse makers
+    (_blobs, _checker) multiply this in so close-range views keep
+    FAST-detectable structure; _brick/_wood already carry their own grain
+    and stay detail-free (adding it measurably delays sweep init — detail
+    churns the response ranking between the init pair's detections).
+
+    Uses its own counter-seeded stream (NOT the caller's rng) so the base
+    texture layouts are bit-identical with detail on or off — the shared
+    stream must not shift or every surface in the scene reshuffles."""
+    own = np.random.default_rng(90210 + _detail_counter[0])
+    _detail_counter[0] += 1
+    return 1.0 + strength * (_pink_noise(own, n, 1.1) - 0.5)
+
+
 def _brick(rng: np.random.Generator, n: int) -> np.ndarray:
     y, x = np.mgrid[0:n, 0:n]
     row = y // (n // 8)
     xx = x + (row % 2) * (n // 8)
+    col = xx // (n // 4)
     mortar_y = (y % (n // 8)) < 2
     mortar_x = (xx % (n // 4)) < 2
     base = 0.45 + 0.25 * _pink_noise(rng, n, 1.6)
+    # per-brick tone: real bricks vary unit to unit. A perfectly uniform
+    # brick grid is translationally self-similar — every mortar crossing
+    # matches every other and the two-way matcher's ambiguity gate rejects
+    # the whole wall (measured: the orbit died at 26° staring at a uniform
+    # brick field). Tones come from a counter-seeded stream (see _detail)
+    # so the caller's rng — and with it every other surface's layout — is
+    # untouched.
+    own = np.random.default_rng(424242 + _detail_counter[0])
+    _detail_counter[0] += 1
+    tones = own.uniform(0.74, 1.26, (row.max() + 1, col.max() + 2))
+    base = base * tones[row, col]
     base[mortar_y | mortar_x] = 0.85
     return np.clip(base + 0.08 * rng.standard_normal((n, n)), 0.05, 0.98).astype(np.float32)
 
@@ -77,22 +113,51 @@ def _wood(rng: np.random.Generator, n: int) -> np.ndarray:
     y, x = np.mgrid[0:n, 0:n].astype(np.float32) / n
     warp = 0.25 * _pink_noise(rng, n, 2.2)
     grain = 0.5 + 0.45 * np.sin(2 * np.pi * (10 * x + 6 * warp))
-    return np.clip(0.25 + 0.55 * grain * (0.6 + 0.4 * _pink_noise(rng, n, 1.5)),
-                   0.05, 0.98).astype(np.float32)
+    base = 0.25 + 0.55 * grain * (0.6 + 0.4 * _pink_noise(rng, n, 1.5))
+    # plank structure: pure grain is self-similar along y (vertical stripes —
+    # every point on a stripe matches every other; measured: the orbit died
+    # at 251° staring at a uniform grain field). Real wood panelling is
+    # planks: per-plank tone + staggered horizontal seams break the
+    # translational symmetry. Counter-seeded stream — caller's rng untouched.
+    yi, xi = np.mgrid[0:n, 0:n]
+    px = xi * 6 // n                                   # 6 plank columns
+    own = np.random.default_rng(515151 + _detail_counter[0])
+    _detail_counter[0] += 1
+    offs = own.integers(0, n // 3, 7)
+    py = (yi + offs[px]) * 3 // n                      # staggered 3 rows
+    tones = own.uniform(0.76, 1.24, (7, 5)).astype(np.float32)
+    base = base * tones[px, py]
+    seam_y = ((yi + offs[px]) * 3 % n) < max(n // 128, 2)
+    seam_x = (xi * 6 % n) < max(n // 128, 2)
+    base[seam_y | seam_x] *= 0.55
+    return np.clip(base, 0.05, 0.98).astype(np.float32)
 
 
 def _checker(rng: np.random.Generator, n: int, cells: int = 10) -> np.ndarray:
     y, x = np.mgrid[0:n, 0:n]
-    c = ((x * cells // n) + (y * cells // n)) % 2
+    cr = y * cells // n
+    cc = x * cells // n
+    c = (cr + cc) % 2
     base = np.where(c, 0.75, 0.25).astype(np.float32)
-    return np.clip(base * (0.65 + 0.55 * _pink_noise(rng, n, 1.7)), 0.05, 0.98)
+    # per-square tone (same counter-seeded stream trick as _brick/_detail):
+    # a uniform checkerboard is translationally self-similar — every square
+    # crossing matches every other and the two-way matcher's ambiguity gate
+    # rejects the whole wall (measured: the orbit died at 104° staring at
+    # the uniform checker wall). Real painted/tiled checkers vary per tile.
+    own = np.random.default_rng(777000 + _detail_counter[0])
+    _detail_counter[0] += 1
+    tones = own.uniform(0.72, 1.28, (cells + 1, cells + 1)).astype(np.float32)
+    base = base * tones[cr, cc]
+    return np.clip(base * (0.65 + 0.55 * _pink_noise(rng, n, 1.7))
+                   * _detail(rng, n, 0.5), 0.05, 0.98)
 
 
 def _blobs(rng: np.random.Generator, n: int) -> np.ndarray:
     """Poster-like high-contrast blob field."""
     img = _pink_noise(rng, n, 2.4)
     img = np.where(img > 0.55, 0.85, 0.2).astype(np.float32)
-    return np.clip(img * (0.7 + 0.5 * _pink_noise(rng, n, 1.4)), 0.05, 0.98)
+    return np.clip(img * (0.7 + 0.5 * _pink_noise(rng, n, 1.4))
+                   * _detail(rng, n, 0.5), 0.05, 0.98)
 
 
 _TEX_MAKERS = [_brick, _wood, _checker, _blobs]
@@ -111,6 +176,7 @@ def build_scene(seed: int = 7, tex: int = 384,
     always has textured structure at 2-4 m — the depth band where a ~4 cm/
     frame baseline keeps translation observable for monocular tracking."""
     rng = np.random.default_rng(seed)
+    _detail_counter[0] = seed * 1000   # reproducible across build_scene calls
     v = lambda *a: np.array(a, np.float32)
     surfaces: list[Surface] = []
 
@@ -158,8 +224,12 @@ def build_scene(seed: int = 7, tex: int = 384,
         # wall-hugging crates: mid-height depth relief along every wall so
         # no viewpoint sees a single plane — 5-point initialization (no H/F
         # model selection, like the reference) is ambiguous on pure planes
-        box(3.55, 4.1, 0.9, 1.9, 0.8, _blobs)        # right wall middle
-        box(-3.55, 3.6, 0.8, 2.1, 0.8, _wood)        # left wall middle
+        # (the wall-middle crates sit off-center along their walls: at the
+        # wall midpoint the orbit ring passes within 0.5 m and the crate
+        # face fills the whole view as a featureless close-up — the same
+        # <1.2 m grazing-range collapse the pillar comment documents)
+        box(3.7, 6.2, 0.6, 1.9, 0.8, _blobs)         # right wall, off-middle
+        box(-3.7, 2.4, 0.6, 2.1, 0.8, _wood)         # left wall, off-middle
         box(-1.2, 8.5, 1.0, 1.8, 0.9, _checker)      # back wall
         box(1.6, 8.55, 0.8, 2.2, 0.8, _brick)        # back wall
         box(-1.4, -0.5, 0.9, 2.0, 0.9, _pink_noise)  # front wall
@@ -339,12 +409,20 @@ def render_frame(
     rendering below ~640×480 or texture aliasing breaks descriptor
     repeatability."""
     if supersample > 1:
+        # sensor noise is applied at the SUPERSAMPLED (sensor-native)
+        # resolution inside the recursive call; the box-average below then
+        # attenuates it by 1/supersample — exactly what the reference's
+        # software downscale (640×480 capture → 320×180 tracking,
+        # MageSettings.h TrackingWidth) does to real camera noise. Adding
+        # full-strength noise AFTER downsampling double-counts it: at FAST
+        # threshold 4 that costs a quarter of frame-to-frame detection
+        # repeatability (measured 66% → 81% keypoint recurrence at a
+        # static pose).
         hi = render_frame(surfaces, R, c, width * supersample,
-                          height * supersample, frame_index, 0.0, light_dir)
+                          height * supersample, frame_index, noise_sigma,
+                          light_dir)
         lo = hi.astype(np.float32).reshape(
             height, supersample, width, supersample).mean(axis=(1, 3))
-        nrng = np.random.default_rng(1000 + frame_index)
-        lo = lo + nrng.normal(0.0, noise_sigma, lo.shape)
         return np.clip(lo, 0, 255).astype(np.uint8)
     sx = width / BASE_W
     sy = height / BASE_H

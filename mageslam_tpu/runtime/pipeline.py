@@ -61,6 +61,12 @@ from ..worldmap.operations import (
 from .pose_history import PoseHistory
 
 
+# trace-time debug switch (see worldmap/new_points.py): per-keyframe mapping
+# stage counts via jax.debug.print, zero cost when unset
+import os as _os
+_DEBUG_MAPPING = bool(_os.environ.get("MAGESLAM_DEBUG_MAPPING"))
+
+
 class TrackingState(enum.Enum):
     INITIALIZING = 0
     TRACKING = 1
@@ -1579,10 +1585,17 @@ class SlamSession:
                 map_state.mp_predicted.astype(jnp.float32) + 1.0
             )
             failed = map_state.mp_valid & (fp_ratio < ts.RecentMapPointPctSuccess)
+            n_before_cull = jnp.sum(map_state.mp_valid.astype(jnp.int32))
             map_state = cull_recent_map_points(
                 map_state, ki_s, failed,
                 min_keyframes_for_culling=ms.MinNumKeyframesForMapPointCulling,
             )
+            if _DEBUG_MAPPING:
+                jax.debug.print(
+                    "MAPDBG ki={ki} pts_in={a} failed={f} after_cull={b}",
+                    ki=ki, a=n_before_cull,
+                    f=jnp.sum(failed.astype(jnp.int32)),
+                    b=jnp.sum(map_state.mp_valid.astype(jnp.int32)))
 
             covis = covisibility_matrix(map_state)
             npr = create_new_map_points(
@@ -1636,6 +1649,12 @@ class SlamSession:
                 map_state, window, st.poses, st.points, outliers,
                 fes.NumLevels, fes.ScaleFactor,
             )
+            if _DEBUG_MAPPING:
+                jax.debug.print(
+                    "MAPDBG ki={ki} created={c} ba_outliers={o} after_ba={b}",
+                    ki=ki, c=npr.created,
+                    o=jnp.sum(outliers.astype(jnp.int32)),
+                    b=jnp.sum(map_state.mp_valid.astype(jnp.int32)))
 
             # keyframe culling (no-op when nothing culled)
             covis2 = covisibility_matrix(map_state)

@@ -18,6 +18,7 @@ The relocalization path (BoW candidates + PnP-RANSAC) lives in `relocalization`.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -28,6 +29,10 @@ from ..ops.matching import dedup_by_target
 from .frame_state import TrackedFrame, TrackingHistory
 
 _BIG = jnp.int32(1 << 20)
+
+# trace-time debug switch (see worldmap/new_points.py): guided-cascade stage
+# counts via jax.debug.print, zero cost when unset
+_DEBUG = bool(os.environ.get("MAGESLAM_DEBUG_TRACKING"))
 
 
 def estimate_next_pose_from_history(history: TrackingHistory,
@@ -192,4 +197,11 @@ def estimate_pose_with_prior(
     )
     ok = count >= minimum_feature_matches
     assoc = jnp.where(ok, assoc, -1)
+    if _DEBUG:
+        hist_assoc = jnp.sum(((history.assoc[0] >= 0)
+                              & history.valid[0]).astype(jnp.int32))
+        jax.debug.print(
+            "PEDBG hist0={h} dedup_pool={d} cand_inview={c} n1={n1} final={n}",
+            h=hist_assoc, d=jnp.sum(is_first.astype(jnp.int32)),
+            c=n_candidates, n1=n1, n=count)
     return GuidedMatchResult(assoc=assoc, match_count=count, succeeded=ok)

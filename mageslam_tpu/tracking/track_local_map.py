@@ -23,6 +23,7 @@ distance matrix.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -33,6 +34,10 @@ from ..geometry.se3 import Pose
 from ..ops.matching import dedup_by_target, radius_match
 from ..worldmap.map_state import MapState, predict_octave
 from .frame_state import TrackedFrame
+
+# trace-time debug switch (see worldmap/new_points.py): per-call stage counts
+# via jax.debug.print, zero cost when unset
+_DEBUG = bool(os.environ.get("MAGESLAM_DEBUG_TRACKING"))
 
 
 class TrackLocalMapResult(NamedTuple):
@@ -213,6 +218,28 @@ def track_local_map(
     frame = frame._replace(pose=pose2, assoc=assoc3)
 
     tracked = jnp.sum(((assoc3 >= 0) & frame.kp_valid).astype(jnp.int32))
+    if _DEBUG:
+        def cnt(m):
+            return jnp.sum((m & cand).astype(jnp.int32))
+        jax.debug.print(
+            "TLMDBG fid={f} in={i} out1={o1} pred={p} radmatch={m} out2={o2} "
+            "tracked={t} | cand={c} front={fr} border={b} angle={an} "
+            "range={rg} oct={oc}",
+            f=frame.frame_id, i=jnp.sum(a_ok0.astype(jnp.int32)),
+            o1=jnp.sum(outlier1.astype(jnp.int32)),
+            p=jnp.sum(is_predicted.astype(jnp.int32)),
+            m=jnp.sum(matched.astype(jnp.int32)),
+            o2=jnp.sum(outlier2.astype(jnp.int32)), t=tracked,
+            c=jnp.sum(cand.astype(jnp.int32)), fr=cnt(z >= 0),
+            b=cnt(in_border), an=cnt(angle_ok), rg=cnt(range_ok),
+            oc=cnt(oct_ok))
+        # where do candidates project? u-histogram: [<-W, -W..0, 8 in-image
+        # octiles, W..2W, >2W] — exit-side pile-up vs geometric blow-up
+        ub = jnp.clip(jnp.floor(u / (width / 8.0)).astype(jnp.int32) + 2,
+                      0, 12)
+        uh = jnp.zeros((13,), jnp.int32).at[
+            jnp.where(cand & (z >= 0), ub, 13)].add(1, mode="drop")
+        jax.debug.print("TLMDBG uhist={h}", h=uh)
     ok = tracked >= min_tracked_features
     frame = frame._replace(assoc=jnp.where(ok, assoc3, -1))
 

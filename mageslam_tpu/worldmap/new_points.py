@@ -14,6 +14,7 @@ selection plus an order-preserving per-cell rank for the grid cap.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -24,6 +25,11 @@ from ..geometry.triangulation import triangulate_midpoint
 from ..ops.matching import match_two_way, radius_match, dedup_by_target
 from .map_state import MapState, compute_dmin_dmax, predict_octave
 from .operations import create_map_points
+
+
+# trace-time debug switch: when set, each create_new_map_points call prints
+# per-gate survivor counts via jax.debug.print (zero cost when unset)
+_DEBUG = bool(os.environ.get("MAGESLAM_DEBUG_NEWPOINTS"))
 
 
 class NewPointsResult(NamedTuple):
@@ -161,9 +167,25 @@ def create_new_map_points(
         par_ok = jnp.sum(v1 * v2, axis=-1) <= cos_min_parallax
 
         good = has & epi_ok & front_ok & ratio_ok & scale_ok & par_ok & ok
+        if _DEBUG:
+            def cnt(m):
+                return jnp.sum((m & has & ok).astype(jnp.int32))
+            dbg = jnp.stack([jnp.sum((has & ok).astype(jnp.int32)), cnt(epi_ok),
+                             cnt(front_ok), cnt(ratio_ok), cnt(scale_ok),
+                             cnt(par_ok), jnp.sum(good.astype(jnp.int32))])
+            return good, m_safe, X, v1, v2, d_ki, dbg
         return good, m_safe, X, v1, v2, d_ki
 
-    good_f, feat_kc_f, X_f, v1_f, v2_f, dki_f = jax.vmap(per_kc)(kc_slots, kc_ok)
+    if _DEBUG:
+        good_f, feat_kc_f, X_f, v1_f, v2_f, dki_f, dbg_f = jax.vmap(per_kc)(
+            kc_slots, kc_ok)
+        jax.debug.print(
+            "NPDBG ki={ki} unassoc={u} kc={kc} ok={ok}\n"
+            "NPDBG gates (per kc: match epi front ratio scale par good):\n{d}",
+            ki=ki, u=jnp.sum(ki_unassoc.astype(jnp.int32)),
+            kc=kc_slots, ok=kc_ok, d=dbg_f)
+    else:
+        good_f, feat_kc_f, X_f, v1_f, v2_f, dki_f = jax.vmap(per_kc)(kc_slots, kc_ok)
     # (F, N) each; X_f (F, N, 3)
 
     # first-valid-Kc wins per Ki feature (nearest-first processing order)
@@ -198,6 +220,15 @@ def create_new_map_points(
     order_key = jnp.where(accept, cand_order, jnp.int32(1 << 30))
     rank_total = jnp.argsort(jnp.argsort(order_key))
     accept = accept & (rank_total < max_new_points)
+    if _DEBUG:
+        xbin = jnp.clip((ki_xy[:, 0] * 8 / image_width).astype(jnp.int32), 0, 7)
+        hist = jnp.zeros((8,), jnp.int32).at[
+            jnp.where(accept, xbin, 8)].add(1, mode="drop")
+        jax.debug.print(
+            "NPDBG any_good={g} cap_ok={c} accept={a} existing_cells={e} xhist={h}",
+            g=jnp.sum(any_good.astype(jnp.int32)),
+            c=jnp.sum((any_good & cap_ok).astype(jnp.int32)),
+            a=jnp.sum(accept.astype(jnp.int32)), e=existing, h=hist)
 
     # viewing stats at creation (Ki is representative, :160-168)
     mean_dir = v1 + v2

@@ -221,12 +221,21 @@ def cull_recent_map_points(
     tracking found/predicted ratio, else they are removed. The reference keeps
     a 3-slot proxy history; here 'recent' is an insertion-epoch window and the
     'seen in current keyframe → defer' exception is preserved via the
-    association row of ki."""
+    association row of ki.
+
+    Epoch alignment (ThreadSafeMap.cpp:519-527): a point created at insertion
+    n sits in history slot 0 during insertion n+1, and the under-observed
+    (<MinNumKeyframesForMapPointCulling keyframes) test only runs for
+    idxPointSet > 0 — i.e. at insertions n+2 and n+3 (age ≥ 2). Applying it
+    at age 1 is off by one insertion and wrongly culls every point that
+    wasn't re-tracked into the very next keyframe (measured: 92 of 226 init
+    points killed at the 2nd keyframe, collapsing orbit tracking). The
+    failed-25% test applies at every history age (slots 0-2, age 1-3)."""
     member = point_keyframe_matrix(state)
     n_obs = jnp.sum(member.astype(jnp.int32), axis=0)
     age = (state.next_order - 1) - state.mp_created_order        # epochs since creation
     recent = state.mp_valid & (age >= 0) & (age <= recent_window)
-    under_observed = recent & (age >= 1) & (n_obs < min_keyframes_for_culling)
+    under_observed = recent & (age >= 2) & (n_obs < min_keyframes_for_culling)
     to_cull = (under_observed | (recent & failed))
     seen_in_ki = member[ki]
     to_cull = to_cull & jnp.logical_not(seen_in_ki)

@@ -1,0 +1,29 @@
+"""End-to-end loop closure on photoreal imagery (EVAL.md 'Loop closure').
+
+Runs the full 360° orbit (336 frames) through apps/loop_eval.py and asserts
+the headline result: tracking survives the revolution, a loop closure fires
+on the revisit, and the closed-loop ATE stays bounded.
+
+~7-10 min on one CPU core — far heavier than the rest of the suite, so it
+only runs when MAGESLAM_RUN_SLOW=1 (CI runs the fast suite; this is the
+repeatable command behind the EVAL.md loop-closure numbers, also runnable as
+`python -m mageslam_tpu.apps.loop_eval`)."""
+
+import os
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("MAGESLAM_RUN_SLOW"),
+    reason="10-minute end-to-end run; set MAGESLAM_RUN_SLOW=1",
+)
+
+
+def test_orbit_closes_loop():
+    from mageslam_tpu.apps.loop_eval import run_orbit_eval
+
+    r = run_orbit_eval(n_frames=336, period=288, verbose=False)
+    assert r["tracked"] >= 0.85 * r["n_frames"], r
+    assert r["loops_closed"] >= 1, r
+    # full-loop ATE: monocular drift around a 5.4 m ring, closed at the join
+    assert r["ate_rmse"] < 0.2, r

@@ -172,8 +172,29 @@ class TestCulling:
         m, k3 = insert(m, rng)
         failed = jnp.zeros((P_CAP,), bool)
         m2 = cull_recent_map_points(m, k3, failed, min_keyframes_for_culling=3)
-        # both points have 2 observers < 3, age 2 ≥ 1, not seen in k3 → culled
+        # both points have 2 observers < 3, age 2 (test applies at insertions
+        # n+2/n+3, ThreadSafeMap.cpp:519-527), not seen in k3 → culled
         assert int(jnp.sum(m2.mp_valid)) == 0
+
+    def test_recent_culling_grace_epoch(self, rng):
+        """A point created at insertion n is EXEMPT from the under-observed
+        test during insertion n+1 (history slot 0, idxPointSet==0 —
+        ThreadSafeMap.cpp:519-527): culling it one insertion after creation
+        would kill every triangulation that wasn't instantly re-tracked
+        (measured: 92 of 226 init points at the 2nd keyframe)."""
+        m = empty_map(K_CAP, P_CAP, N_CAP)
+        m, k0 = insert(m, rng)
+        m, k1 = insert(m, rng)
+        m, slots = create_map_points(
+            m, jnp.zeros((2, 3)), jnp.zeros((2, 8), jnp.uint32),
+            jnp.array([0, 0], jnp.int32), jnp.array([0, 1], jnp.int32),
+            jnp.array([1, 1], jnp.int32), jnp.array([0, 1], jnp.int32),
+            jnp.array([True, True]),
+        )
+        m, k2 = insert(m, rng)   # age of points = 1: slot-0 grace
+        m2 = cull_recent_map_points(m, k2, jnp.zeros((P_CAP,), bool),
+                                    min_keyframes_for_culling=3)
+        assert int(jnp.sum(m2.mp_valid)) == 2   # both survive the grace epoch
 
     def test_recent_culling_defers_if_seen_in_ki(self, rng):
         m = empty_map(K_CAP, P_CAP, N_CAP)
@@ -187,8 +208,9 @@ class TestCulling:
         )
         s = int(slots[0])
         m, k2 = insert(m, rng)
-        m = m._replace(kf_assoc=m.kf_assoc.at[int(k2), 7].set(s))
-        m2 = cull_recent_map_points(m, k2, jnp.zeros((P_CAP,), bool))
+        m, k3 = insert(m, rng)   # age 2: the under-observed test now applies
+        m = m._replace(kf_assoc=m.kf_assoc.at[int(k3), 7].set(s))
+        m2 = cull_recent_map_points(m, k3, jnp.zeros((P_CAP,), bool))
         assert bool(m2.mp_valid[s])  # deferred: seen in current keyframe
 
     def test_keyframe_cull_redundant(self, rng):

@@ -172,7 +172,11 @@ def main():
     pass_len = ((N_FRAMES - i0) // CHUNK) * CHUNK
     tracked = timed = 0
     pass_times = []
-    for _ in range(3):
+    # 5 passes: each is ~0.5 s of device work, but the relay's latency
+    # jitter (CLAUDE.md: identical code has measured 45-290 fps purely from
+    # relay phase) makes a 3-sample median fragile; 5 samples reject two
+    # stalled passes instead of one.
+    for _ in range(5):
         t0 = time.perf_counter()
         res = sess.process_frame_stream(bank, ts_all, ids_all, start=i0,
                                         stop=i0 + pass_len, chunk=CHUNK)
@@ -181,6 +185,10 @@ def main():
         tracked += sum(r.state == TrackingState.TRACKING for r in res)
         timed += pass_len
 
+    import sys
+    print(f"pass times {['%.3f' % t for t in pass_times]} s for {pass_len} "
+          f"frames; keyframes in map {int(np.asarray(sess.map.kf_valid).sum())}",
+          file=sys.stderr)
     med = float(np.median(pass_times)) / pass_len
     fps = 1.0 / med if med > 0 else 0.0
     value = fps * (tracked / max(timed, 1))

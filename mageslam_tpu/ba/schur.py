@@ -149,10 +149,16 @@ def solve_lm_system(
     S_mat = S.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
     L = jnp.linalg.cholesky(S_mat)
     dx_c = jax.scipy.linalg.cho_solve((L, True), b.reshape(K * 6)).reshape(K, 6)
-    # Cholesky fails (NaNs) if S isn't PD — fall back to LU solve in that case
+    # Cholesky fails (NaNs) if S isn't PD — fall back to LU solve in that
+    # case. Behind lax.cond so the common (PD) path never pays for the LU:
+    # an unconditional fallback solve measurably doubled the per-LM-step
+    # latency of the mapping core on the real chip.
     bad = jnp.any(jnp.isnan(dx_c))
-    dx_lu = jnp.linalg.solve(S_mat, b.reshape(K * 6)).reshape(K, 6)
-    dx_c = jnp.where(bad, dx_lu, dx_c)
+    dx_c = jax.lax.cond(
+        bad,
+        lambda: jnp.linalg.solve(S_mat, b.reshape(K * 6)).reshape(K, 6),
+        lambda: dx_c,
+    )
     dx_c = dx_c * keep[:, None]
 
     rhs_p = eq.g_p - jnp.einsum("kpij,ki->pj", eq.Wc, dx_c)      # (P, 3)

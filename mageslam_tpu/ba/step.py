@@ -66,24 +66,34 @@ def iterate_bundle_adjust(
     min_mean_square_error: float,
     num_steps: int,
     steps_per_run: int = 1,
+    min_steps: int = 0,
 ):
-    """The BundleAdjustTask driver policy (BundleAdjustment/BundleAdjust.h:202-244):
-    repeatedly call step_bundle_adjust with geometrically shrinking Huber width
-    and outlier threshold, stopping early when the MSE target is reached.
+    """The BundleAdjustTask driver policy: repeatedly call step_bundle_adjust
+    with geometrically shrinking Huber width and outlier threshold, iterating
+    while total steps < NumSteps AND (MSE > MinMeanSquareError OR total steps
+    < MinSteps) — the shouldKeepIterating condition of the reference's
+    mapping BA loop (Tasks/MappingWorker.cpp:357-361, BundleAdjust.h:202-244).
 
-    Host-side loop (the reference interleaves map write-backs between runs);
-    each inner call is one compiled step. Returns (state, mse, steps_taken).
+    Host-side loop (the reference interleaves map write-backs between runs;
+    here callers are host-gated rare paths — loop-closure close and
+    fossilize); each inner call is one compiled step. Returns
+    (state, mse, steps_taken, cumulative_outlier_mask (O,) bool).
     """
-    hw = jnp.float32(huber_width)
-    moe = jnp.float32(max_outlier_error)
-    mse = jnp.float32(jnp.inf)
+    active0 = state.obs_info > 0
+    hw = float(huber_width)
+    moe = float(max_outlier_error)
+    mse = float("inf")
     steps = 0
     while steps < num_steps:
-        widths = hw * (huber_width_scale ** jnp.arange(steps_per_run, dtype=jnp.float32))
-        state, mse, _ = step_bundle_adjust(problem, state, widths, moe * moe)
-        hw = hw * (huber_width_scale ** steps_per_run)
-        moe = moe * (max_outlier_error_scale ** steps_per_run)
+        widths = hw * (
+            huber_width_scale ** jnp.arange(steps_per_run, dtype=jnp.float32))
+        state, mse_d, _ = step_bundle_adjust(
+            problem, state, widths, jnp.float32(moe * moe))
+        hw *= huber_width_scale ** steps_per_run
+        moe *= max_outlier_error_scale ** steps_per_run
         steps += steps_per_run
-        if float(mse) < min_mean_square_error:
+        mse = float(mse_d)
+        if steps >= min_steps and mse < min_mean_square_error:
             break
-    return state, mse, steps
+    outliers = active0 & jnp.logical_not(state.obs_info > 0)
+    return state, mse, steps, outliers

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ba import BAState
-from ..ba.step import step_bundle_adjust
+from ..ba.step import iterate_bundle_adjust, step_bundle_adjust
 from ..bow import add_keyframe as bow_add_keyframe
 from ..bow import empty_index, query_keyframes, train_vocabulary
 from ..bow.index import compute_idf
@@ -50,8 +50,9 @@ from ..tracking.track_local_map import track_local_map
 from ..tracking.bounding_depths import calculate_bounding_plane_depths
 from ..worldmap.ba_window import apply_ba_results, build_local_ba_window
 from ..worldmap.covisibility import covisibility_matrix
-from ..worldmap.map_state import (MapState, empty_map,
-                                 refresh_membership, refresh_point_stats)
+from ..worldmap.map_state import (MapState, empty_map, refresh_membership,
+                                 refresh_point_stats,
+                                 refresh_point_stats_slots)
 from ..worldmap.new_points import create_new_map_points
 from ..worldmap.operations import (
     cull_local_keyframes,
@@ -240,7 +241,11 @@ class SlamSession:
 
     def _preprocess_image(self, image: jax.Array) -> jax.Array:
         """Dense undistortion when UndistortImagePixels is set (traced — a
-        plain passthrough otherwise, so the pinhole path pays nothing)."""
+        plain passthrough otherwise, so the pinhole path pays nothing).
+        Accepts uint8 frames (the camera-native dtype): banks stream 4×
+        less HBM/relay traffic and convert on device."""
+        if image.dtype != jnp.float32:
+            image = image.astype(jnp.float32)
         if not self._undistort_pixels:
             return image
         from ..ops.undistort import undistort_image
@@ -862,8 +867,14 @@ class SlamSession:
             pick = lambda new, old: jax.tree.map(
                 lambda a, c: jnp.where(jnp.reshape(gate, (1,) * a.ndim), a, c),
                 new, old)
+            # narrow map gate: _post_fn only mutates mp_found/mp_predicted
+            m_out = map_state._replace(
+                mp_found=jnp.where(gate, m2.mp_found, map_state.mp_found),
+                mp_predicted=jnp.where(gate, m2.mp_predicted,
+                                       map_state.mp_predicted),
+            )
             return (
-                pick(m2, map_state), pick(h2, history), pick(ph2, pose_history),
+                m_out, pick(h2, history), pick(ph2, pose_history),
                 res.frame,
                 jnp.stack([
                     gate.astype(jnp.int32),
@@ -913,7 +924,13 @@ class SlamSession:
             flags = jnp.stack([
                 gate.astype(jnp.int32), res.tracked_count,
                 (is_kf & gate).astype(jnp.int32)])
-            return (pick(m2, map_state), pick(h2, history),
+            # narrow map gate: _post_fn only mutates mp_found/mp_predicted
+            m_out = map_state._replace(
+                mp_found=jnp.where(gate, m2.mp_found, map_state.mp_found),
+                mp_predicted=jnp.where(gate, m2.mp_predicted,
+                                       map_state.mp_predicted),
+            )
+            return (m_out, pick(h2, history),
                     pick(ph2, pose_history), res.frame, flags)
 
         return jax.jit(frame_step)
@@ -957,7 +974,17 @@ class SlamSession:
         pick = lambda new, old: jax.tree.map(
             lambda a, c: jnp.where(jnp.reshape(gate, (1,) * a.ndim), a, c),
             new, old)
-        m, h, ph = pick(m2, m), pick(h2, h), pick(ph2, ph)
+        # _post_fn only mutates mp_found/mp_predicted in the map — gate just
+        # those two (P,) arrays instead of where-copying the whole ~12 MB
+        # MapState every frame (the full-tree pick measurably cost ~0.5 ms
+        # of the fused step on the real chip). The chunk-vs-sync parity
+        # tests (TestChunkedFrameLoop/TestChunkedExploring) guard this
+        # invariant against future _post_fn changes.
+        m = m._replace(
+            mp_found=jnp.where(gate, m2.mp_found, m.mp_found),
+            mp_predicted=jnp.where(gate, m2.mp_predicted, m.mp_predicted),
+        )
+        h, ph = pick(h2, h), pick(ph2, ph)
 
         def do_map(args):
             mm, pph = args
@@ -1617,12 +1644,10 @@ class SlamSession:
                 search_radius=nps.NewMapPointsSearchRadius,
                 max_keyframe_angle_degrees=nps.MaxKeyframeAngleDegrees,
             )
-            map_state = refresh_point_stats(
-                npr.state,
-                jnp.zeros_like(npr.state.mp_valid).at[
-                    jnp.where(npr.slots >= 0, npr.slots, 0)
-                ].max(npr.slots >= 0),
-                fes.NumLevels, fes.ScaleFactor,
+            # stats refresh bounded to the created slots (≤ MaxFeatures) —
+            # the full-bank refresh was ~1/3 of the measured mapping cost
+            map_state = refresh_point_stats_slots(
+                npr.state, npr.slots, fes.NumLevels, fes.ScaleFactor,
             )
 
             # local BA
@@ -1765,10 +1790,19 @@ class SlamSession:
 
     # ------------------------------------------------------------------ #
     def _global_ba(self, steps: int, huber: float = 0.9,
-                   max_outlier_error: float = 4.0):
+                   max_outlier_error: float = 4.0, bas=None):
         """Whole-map BA (loop-closure close + Fossilize both use this —
-        the reference uses full global BA instead of a Sim3 pose graph)."""
+        the reference uses full global BA instead of a Sim3 pose graph).
+
+        Driven by the BundleAdjustTask shrinking-threshold policy
+        (iterate_bundle_adjust; Tasks/MappingWorker.cpp:357-361): Huber width
+        and outlier threshold decay geometrically between runs and iteration
+        stops early once MSE reaches MinMeanSquareError (after MinSteps).
+        `bas` supplies the schedule constants (defaults to the session's
+        BundleAdjustSettings)."""
         b = self.settings.Budgets
+        if bas is None:
+            bas = self.settings.BundleAdjustSettings
         window = build_local_ba_window(
             self.map, jnp.int32(self.last_kf_slot),
             max_cams=b.MaxKeyframes, max_points=b.MaxMapPoints,
@@ -1776,9 +1810,14 @@ class SlamSession:
             global_window=True,
         )
         st = BAState.from_problem(window.problem)
-        widths = jnp.full((steps,), huber, jnp.float32)
-        st, mse, outliers = step_bundle_adjust(
-            window.problem, st, widths, jnp.float32(max_outlier_error ** 2)
+        st, mse, _, outliers = iterate_bundle_adjust(
+            window.problem, st, huber, max_outlier_error,
+            huber_width_scale=bas.HuberWidthScale,
+            max_outlier_error_scale=bas.MaxOutlierErrorScaleFactor,
+            min_mean_square_error=bas.MinMeanSquareError,
+            num_steps=steps,
+            steps_per_run=max(bas.NumStepsPerRun, 1),
+            min_steps=bas.MinSteps,
         )
         self.map = apply_ba_results(
             self.map, window, st.poses, st.points, outliers,
@@ -1830,6 +1869,7 @@ class SlamSession:
             steps=max(lc.BundleAdjustSettings.NumSteps, 5),
             huber=lc.BundleAdjustSettings.HuberWidth,
             max_outlier_error=lc.BundleAdjustSettings.MaxOutlierError,
+            bas=lc.BundleAdjustSettings,
         )
         # global BA unassociates outliers — refresh the membership cache
         self.map = refresh_membership(self.map)

@@ -263,3 +263,93 @@ def refresh_point_stats(state: MapState, touched: jax.Array, num_levels: int,
         mp_dmin=jnp.where(upd, dmin, state.mp_dmin),
         mp_dmax=jnp.where(upd, dmax, state.mp_dmax),
     )
+
+
+def refresh_point_stats_slots(state: MapState, slots: jax.Array,
+                              num_levels: int, scale_factor: float,
+                              max_obs_kf: int = 16) -> MapState:
+    """`refresh_point_stats` restricted to an explicit (S,) int32 slot list
+    (-1 padded): identical math, but every intermediate is (K, S) / (S, ...)
+    instead of (K, P) / (P, ...).
+
+    The hot mapping paths only ever touch a bounded set of points per
+    keyframe (new creations ≤ MaxFeatures, BA window ≤ MaxBaPoints), yet the
+    full-bank refresh pays K×P work — measured 12.4 ms of the 44.9 ms
+    mapping core on the real chip (apply_ba_results alone). This variant is
+    the same MapPoint::UpdateRepresentativeDescriptor /
+    UpdateMeanViewDirectionAndDistances semantics (MapPoint.cpp:80-160) at
+    S/P the cost; tests assert bit-parity against the full-bank version.
+    Duplicate valid slots are not allowed (each map point occupies one slot).
+    """
+    from ..ops.matching import popcount_u32
+
+    K, P, N = state.capacity
+    S = slots.shape[0]
+    ok_s = (slots >= 0) & (slots < P)
+    slot_safe = jnp.where(ok_s, slots, 0)
+
+    # inverse map p → s (out-of-bounds scatter drops the padding)
+    s_of_p = jnp.full((P,), -1, jnp.int32).at[
+        jnp.where(ok_s, slots, P)
+    ].set(jnp.arange(S, dtype=jnp.int32), mode="drop")
+
+    # (K, S) membership + observing feature index, derived from associations
+    assoc = state.kf_assoc                                     # (K, N)
+    valid = (assoc >= 0) & state.kf_kp_valid & state.kf_valid[:, None]
+    a_safe = jnp.where(valid, assoc, 0)
+    s_tgt = jnp.where(valid, s_of_p[a_safe], -1)               # (K, N)
+    rows = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[:, None], (K, N))
+    cols = jnp.where(s_tgt >= 0, s_tgt, S)
+    member_s = jnp.zeros((K, S), bool).at[rows, cols].max(s_tgt >= 0,
+                                                          mode="drop")
+    # min-scatter → FIRST observing feature per (keyframe, point), matching
+    # the full version's argmax-of-first-hit when duplicates exist
+    feat_s = jnp.full((K, S), N, jnp.int32).at[rows, cols].min(
+        jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (K, N)),
+        mode="drop")
+    feat_s = jnp.where(feat_s >= N, -1, feat_s)
+
+    n_obs = jnp.sum(member_s.astype(jnp.int32), axis=0)        # (S,)
+    pos_s = state.mp_pos[slot_safe]                            # (S, 3)
+    centers = state.keyframe_centers()                         # (K, 3)
+    delta = pos_s[None, :, :] - centers[:, None, :]            # (K, S, 3)
+    norm = jnp.linalg.norm(delta, axis=-1, keepdims=True)
+    unit = delta / jnp.maximum(norm, 1e-12)
+    mean_dir = jnp.sum(jnp.where(member_s[..., None], unit, 0.0), axis=0)
+    mean_dir = mean_dir / jnp.maximum(
+        jnp.linalg.norm(mean_dir, axis=-1, keepdims=True), 1e-12)
+
+    # first max_obs_kf observing keyframes (ascending slot order) via top_k
+    key = jnp.where(member_s, K - jnp.arange(K, dtype=jnp.int32)[:, None], 0)
+    vals = jax.lax.top_k(key.T, max_obs_kf)[0]                 # (S, J)
+    top_ok = vals > 0
+    top_kf = jnp.where(top_ok, K - vals, 0)                    # (S, J)
+    feat_idx = feat_s[top_kf, jnp.arange(S, dtype=jnp.int32)[:, None]]
+    ok = top_ok & (feat_idx >= 0)
+    feat_safe = jnp.where(ok, feat_idx, 0)
+
+    descs = state.kf_desc[top_kf, feat_safe]                   # (S, J, 8)
+    octaves = state.kf_kp_octave[top_kf, feat_safe]            # (S, J)
+
+    x = descs[:, :, None, :] ^ descs[:, None, :, :]            # (S, J, J, 8)
+    d = jnp.sum(popcount_u32(x), axis=-1)
+    pair_ok = ok[:, :, None] & ok[:, None, :]
+    summed = jnp.sum(jnp.where(pair_ok, d, 0), axis=-1)
+    summed = jnp.where(ok, summed, jnp.iinfo(jnp.int32).max)
+    rep = jnp.argmin(summed, axis=-1)                          # (S,)
+    rep_desc = jnp.take_along_axis(descs, rep[:, None, None], axis=1)[:, 0]
+    rep_kf = jnp.take_along_axis(top_kf, rep[:, None], axis=1)[:, 0]
+    rep_oct = jnp.take_along_axis(octaves, rep[:, None], axis=1)[:, 0]
+
+    rep_center = centers[rep_kf]                               # (S, 3)
+    dist = jnp.linalg.norm(pos_s - rep_center, axis=-1)
+    dmin, dmax = compute_dmin_dmax(dist, rep_oct, num_levels, scale_factor)
+
+    upd = ok_s & state.mp_valid[slot_safe] & (n_obs > 0)       # (S,)
+    w = jnp.where(upd, slots, P)                               # masked scatter
+    return state._replace(
+        mp_mean_dir=state.mp_mean_dir.at[w].set(mean_dir, mode="drop"),
+        mp_desc=state.mp_desc.at[w].set(rep_desc, mode="drop"),
+        mp_dmin=state.mp_dmin.at[w].set(dmin, mode="drop"),
+        mp_dmax=state.mp_dmax.at[w].set(dmax, mode="drop"),
+    )

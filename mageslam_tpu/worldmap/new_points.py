@@ -253,7 +253,12 @@ def create_new_map_points(
     map_border = image_border - search_radius / 2.0
     cos_max_angle = jnp.cos(jnp.deg2rad(jnp.float32(max_keyframe_angle_degrees)))
 
-    def associate_into(assoc_bank, kc, ok):
+    def associate_into(kc, ok):
+        """New row of kf_assoc[kc] after matching the created points in.
+        Each covisible keyframe touches only its OWN association row, so the
+        F keyframes are independent — vmapped instead of a serialized loop
+        (5 sequential radius matches measurably serialized the mapping
+        core's tail on the real chip)."""
         kc_pose = Pose(new_state.kf_pose.R[kc], new_state.kf_pose.t[kc])
         kc_cam = new_state.kf_cam[kc]
         kc_center = kc_pose.center()
@@ -275,7 +280,7 @@ def create_new_map_points(
         not_originating = kc_of != kc
         cand = created_mask & (z > 0) & in_border & angle_ok & range_ok & oct_ok & not_originating
 
-        unassoc = new_state.kf_kp_valid[kc] & (assoc_bank[kc] < 0)
+        unassoc = new_state.kf_kp_valid[kc] & (new_state.kf_assoc[kc] < 0)
         m_idx, m_dist = radius_match(
             ki_desc, jnp.stack([u, v], axis=-1), jnp.clip(pred, 0, num_levels - 1), cand,
             new_state.kf_desc[kc], new_state.kf_kp_xy[kc],
@@ -285,13 +290,15 @@ def create_new_map_points(
         m_idx = dedup_by_target(m_idx, m_dist)
         hit = (m_idx >= 0) & ok
         tgt = jnp.where(hit, m_idx, N)
-        row = assoc_bank[kc].at[tgt].set(jnp.where(hit, slots, -1), mode="drop")
-        return assoc_bank.at[kc].set(jnp.where(ok, row, assoc_bank[kc]))
+        row = new_state.kf_assoc[kc].at[tgt].set(
+            jnp.where(hit, slots, -1), mode="drop")
+        return jnp.where(ok, row, new_state.kf_assoc[kc])
 
-    assoc = new_state.kf_assoc
-    for f in range(max_frames):
-        assoc = associate_into(assoc, kc_slots[f], kc_ok[f])
-    new_state = new_state._replace(kf_assoc=assoc)
+    rows_new = jax.vmap(associate_into)(kc_slots, kc_ok)        # (F, N)
+    # kc_slots is a slice of an argsort permutation → indices are distinct;
+    # masked rows equal the original row, so the scatter is conflict-free
+    new_state = new_state._replace(
+        kf_assoc=new_state.kf_assoc.at[kc_slots].set(rows_new))
 
     return NewPointsResult(
         state=new_state,

@@ -374,7 +374,8 @@ class TestIterateDriver:
         problem = build_problem(pts, K, poses, uvs, fixed=(0, 1),
                                 noise_pts=0.02, rng=rng)
         state = BAState.from_problem(problem)
-        state, mse, steps = iterate_bundle_adjust(
+        active0 = np.array(state.obs_info > 0)
+        state, mse, steps, outliers = iterate_bundle_adjust(
             problem, state, huber_width=1.8, max_outlier_error=7.25,
             huber_width_scale=0.95, max_outlier_error_scale=0.95,
             min_mean_square_error=1e-4, num_steps=20, steps_per_run=2,
@@ -383,3 +384,25 @@ class TestIterateDriver:
         assert steps <= 20
         # persisted lambda carried in the state (MappingWorker.cpp:272-286)
         assert float(state.lam) > 0
+        # cumulative outlier mask == observations deactivated across all runs
+        np.testing.assert_array_equal(
+            np.array(outliers), active0 & ~np.array(state.obs_info > 0))
+
+    def test_iterate_min_steps_overrides_mse_early_out(self, rng):
+        """MinSteps keeps the loop running past the MSE target
+        (MappingWorker.cpp:360: mse > target OR steps < MinSteps)."""
+        from mageslam_tpu.ba.step import iterate_bundle_adjust
+
+        pts, K, poses, uvs = make_scene(rng, n_pts=80, n_cams=3)
+        problem = build_problem(pts, K, poses, uvs, fixed=(0, 1),
+                                noise_pts=0.0, rng=rng)
+        state = BAState.from_problem(problem)
+        # zero-noise problem: mse is below any target from step 1, so only
+        # min_steps can keep it iterating
+        _, _, steps, _ = iterate_bundle_adjust(
+            problem, state, huber_width=1.8, max_outlier_error=7.25,
+            huber_width_scale=0.95, max_outlier_error_scale=0.95,
+            min_mean_square_error=1e6, num_steps=10, steps_per_run=1,
+            min_steps=4,
+        )
+        assert steps == 4

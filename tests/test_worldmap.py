@@ -155,6 +155,53 @@ class TestPointStats:
         assert any((np.array(m.mp_desc[s]) == c).all() for c in cands)
         assert float(m.mp_dmax[s]) > float(m.mp_dmin[s]) > 0
 
+    def test_refresh_stats_slots_matches_full(self, rng):
+        """refresh_point_stats_slots == refresh_point_stats on the same
+        touched set (the hot mapping paths use the S-bounded variant)."""
+        from mageslam_tpu.worldmap.map_state import refresh_point_stats_slots
+
+        m = empty_map(K_CAP, P_CAP, N_CAP)
+        poses = [Pose.identity(),
+                 Pose(jnp.eye(3), jnp.array([-1.0, 0.0, 0.0])),
+                 Pose(jnp.eye(3), jnp.array([0.0, -0.5, 0.2])),
+                 Pose(jnp.eye(3), jnp.array([0.4, 0.1, -0.3]))]
+        for p in poses:
+            m, _ = insert(m, rng, pose=p)
+        # a batch of points observed by random subsets of the keyframes
+        n_pts = 20
+        pos = jnp.asarray(rng.uniform(-2, 2, (n_pts, 3)).astype(np.float32)
+                          + np.array([0, 0, 5], np.float32))
+        desc = jnp.asarray(rng.randint(0, 2**31, (n_pts, 8)), dtype=jnp.uint32)
+        m, slots = create_map_points(
+            m, pos, desc,
+            jnp.asarray(rng.randint(0, 4, n_pts), dtype=jnp.int32),
+            jnp.asarray(rng.randint(0, N_CAP, n_pts), dtype=jnp.int32),
+            jnp.asarray(rng.randint(0, 3, n_pts), dtype=jnp.int32),
+            jnp.asarray(rng.randint(0, N_CAP, n_pts), dtype=jnp.int32),
+            jnp.ones((n_pts,), bool),
+        )
+        # extra random associations in the other keyframes
+        assoc = np.array(m.kf_assoc)
+        for i, s in enumerate(np.array(slots)):
+            for k in range(4):
+                if rng.rand() < 0.5:
+                    f = rng.randint(0, N_CAP)
+                    if assoc[k, f] < 0:
+                        assoc[k, f] = s
+        m = m._replace(kf_assoc=jnp.asarray(assoc))
+
+        touched = jnp.zeros((P_CAP,), bool).at[slots].set(True)
+        full = refresh_point_stats(m, touched, num_levels=3, scale_factor=2.0)
+        # slot list with -1 padding and scrambled order
+        pad = jnp.full((7,), -1, jnp.int32)
+        slist = jnp.concatenate([slots[::-1], pad])
+        by_slots = refresh_point_stats_slots(m, slist, num_levels=3,
+                                             scale_factor=2.0)
+        for name in ("mp_mean_dir", "mp_desc", "mp_dmin", "mp_dmax"):
+            np.testing.assert_array_equal(
+                np.array(getattr(full, name)), np.array(getattr(by_slots, name)),
+                err_msg=name)
+
 
 class TestCulling:
     def test_recent_culling_underobserved(self, rng):

@@ -85,11 +85,15 @@ def loop_profile_settings(grid_count: int = 12,
 def run_orbit_eval(n_frames: int = 336, period: int = 288,
                    width: int = 320, height: int = 180,
                    trajectory: str = "orbit", verbose: bool = True,
-                   settings=None):
-    """Drive the orbit sequence through SlamSession.process_frame.
+                   settings=None, mode: str = "sync", chunk: int = 8):
+    """Drive the orbit sequence through SlamSession.
 
-    Returns dict with tracked count, keyframes, loops_closed, ate_rmse,
-    n_poses, and the per-frame state list."""
+    mode="sync" uses process_frame (one dispatch per frame, loop closure
+    resolved at the keyframe); mode="stream" uses process_frames_chunked at
+    bench pipelining depth, where BoW adds and loop DETECTION run at chunk
+    resolution and the detected flag rides the NEXT group summary fetch
+    (_resolve_loop_dets) — the path the bench measures. Returns dict with
+    tracked count, keyframes, loops_closed, ate_rmse, n_poses, states."""
     import jax.numpy as jnp
 
     from ..runtime import SlamSession, TrackingState
@@ -101,22 +105,37 @@ def run_orbit_eval(n_frames: int = 336, period: int = 288,
     cam = jnp.array([FX * sx, FY * sy, CX * sx, CY * sy], jnp.float32)
     sess = SlamSession(s, cam=cam, image_width=width, image_height=height)
 
-    gt_ts, gt_c, states = [], [], []
+    gt_ts, gt_c = [], []
     ts_by_id = {}
     t0 = time.time()
+    buf_img, buf_ts, buf_fid = [], [], []
     for img, ts, fid, _R, c in render_sequence(
             n_frames, width, height, trajectory=trajectory, period=period):
-        r = sess.process_frame(img.astype(np.float32), ts, fid)
-        states.append(r.state)
         gt_ts.append(ts)
         gt_c.append(c)
         ts_by_id[fid] = ts
-        if verbose and (fid % 24 == 0 or r.state != TrackingState.TRACKING):
-            print(f"f{fid:3d} {360.0 * fid / period:5.1f}deg "
-                  f"state={r.state.name} loops={sess.n_loops_closed} "
+        if mode == "stream":
+            buf_img.append(img.astype(np.float32))
+            buf_ts.append(ts)
+            buf_fid.append(fid)
+            if len(buf_img) == chunk:
+                sess.process_frames_chunked(buf_img, buf_ts, buf_fid)
+                buf_img, buf_ts, buf_fid = [], [], []
+        else:
+            r = sess.process_frame(img.astype(np.float32), ts, fid)
+            if verbose and (fid % 24 == 0 or r.state != TrackingState.TRACKING):
+                print(f"f{fid:3d} {360.0 * fid / period:5.1f}deg "
+                      f"state={r.state.name} loops={sess.n_loops_closed} "
+                      f"({time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
+    if mode == "stream":
+        for im, ts, fid in zip(buf_img, buf_ts, buf_fid):
+            sess.process_frame(im, float(ts), int(fid))
+        if verbose:
+            print(f"stream done: loops={sess.n_loops_closed} "
                   f"({time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
 
     ids, mats = sess.fossilize(global_ba_steps=None)
+    states = [r.state for r in sorted(sess.results, key=lambda r: r.frame_id)]
     est_ts = np.array([ts_by_id[int(i)] for i in ids])
     est_c = np.array([-m[:3, :3].T @ m[:3, 3] for m in mats])
     rmse, n = ate_rmse(est_ts, est_c, np.array(gt_ts), np.array(gt_c))
@@ -139,8 +158,10 @@ def main() -> None:
     p.add_argument("--period", type=int, default=288)
     p.add_argument("--trajectory", default="orbit",
                    choices=["orbit", "circuit", "sweep"])
+    p.add_argument("--mode", default="sync", choices=["sync", "stream"])
     args = p.parse_args()
-    r = run_orbit_eval(args.frames, args.period, trajectory=args.trajectory)
+    r = run_orbit_eval(args.frames, args.period, trajectory=args.trajectory,
+                       mode=args.mode)
     print(f"tracked {r['tracked']}/{r['n_frames']}  "
           f"keyframes {r['keyframes']}  loops_closed {r['loops_closed']}  "
           f"ATE RMSE {r['ate_rmse']:.4f} m over {r['n_poses']} poses  "

@@ -67,6 +67,7 @@ def iterate_bundle_adjust(
     num_steps: int,
     steps_per_run: int = 1,
     min_steps: int = 0,
+    step_fn=None,
 ):
     """The BundleAdjustTask driver policy: repeatedly call step_bundle_adjust
     with geometrically shrinking Huber width and outlier threshold, iterating
@@ -78,7 +79,13 @@ def iterate_bundle_adjust(
     here callers are host-gated rare paths — loop-closure close and
     fossilize); each inner call is one compiled step. Returns
     (state, mse, steps_taken, cumulative_outlier_mask (O,) bool).
+
+    `step_fn` swaps the per-call primitive — same (problem, state, widths,
+    max_err_sq) → (state, mse, outliers) contract — e.g. the point-sharded
+    multi-chip step (parallel.sharded_ba.make_sharded_step_bundle_adjust).
     """
+    if step_fn is None:
+        step_fn = step_bundle_adjust
     active0 = state.obs_info > 0
     hw = float(huber_width)
     moe = float(max_outlier_error)
@@ -87,7 +94,7 @@ def iterate_bundle_adjust(
     while steps < num_steps:
         widths = hw * (
             huber_width_scale ** jnp.arange(steps_per_run, dtype=jnp.float32))
-        state, mse_d, _ = step_bundle_adjust(
+        state, mse_d, _ = step_fn(
             problem, state, widths, jnp.float32(moe * moe))
         hw *= huber_width_scale ** steps_per_run
         moe *= max_outlier_error_scale ** steps_per_run

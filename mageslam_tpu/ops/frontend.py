@@ -107,7 +107,11 @@ def detect_and_compute(
 
     Output arrays are padded to `max_features` slots; invalid slots have
     valid=False and xy placed at (-1e6) so radius matchers never hit them.
+    Accepts uint8 frames (camera-native; 4× less HBM traffic than f32 on
+    banked streams) — converted here INSIDE the jit, never eagerly.
     """
+    if image.dtype != jnp.float32:
+        image = image.astype(jnp.float32)
     levels = image_mod.build_pyramid(image, fes.NumLevels, fes.ScaleFactor)
     n_per_level = image_mod.features_per_level(
         fes.NumFeatures, fes.NumLevels, fes.ScaleFactor

@@ -119,6 +119,7 @@ def radius_match(
     max_hamming: jax.Array,
     min_diff: jax.Array,
     use_mxu: bool = False,
+    octave_tol: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Guided spatial match: per query, best target within the Chebyshev
     `radius` box on the same octave (PoseEstimator's 3-radius cascade and
@@ -127,13 +128,18 @@ def radius_match(
     radius may be scalar or per-query (N,). Returns (target idx or -1, dist).
     Acceptance: best <= max_hamming and second_best - best > min_diff
     (FeatureMatcher.cpp:400-446, with the batch variant's true second-best).
+    octave_tol=1 widens the pyramid-level gate to ±1 levels (the reference's
+    spatial index queries octave·100 ± 100, KeypointSpatialIndex.h:36-37 —
+    needed where monocular scale drift moves features across levels, e.g.
+    relocalization).
     """
     d = hamming_matrix(query_desc, target_desc, use_mxu)
     radius = jnp.broadcast_to(jnp.asarray(radius, jnp.float32), (query_desc.shape[0],))
     dx = jnp.abs(query_xy[:, None, 0] - target_xy[None, :, 0])
     dy = jnp.abs(query_xy[:, None, 1] - target_xy[None, :, 1])
     in_box = (dx <= radius[:, None]) & (dy <= radius[:, None])
-    same_oct = query_octave[:, None] == target_octave[None, :]
+    same_oct = jnp.abs(query_octave[:, None] - target_octave[None, :]) \
+        <= octave_tol
     cand = in_box & same_oct & query_valid[:, None] & target_valid[None, :]
 
     d = jnp.where(cand, d, BIG)

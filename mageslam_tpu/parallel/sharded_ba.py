@@ -211,3 +211,35 @@ def make_sharded_lm_iteration(mesh: Mesh, axis: str = "model"):
                             cost=jnp.where(ok, cost_new, cost0), accepted=ok)
 
     return jax.jit(iteration)
+
+
+def make_sharded_step_bundle_adjust(mesh: Mesh, axis: str = "model"):
+    """step_bundle_adjust (ba/step.py:29-56) with the LM linear solve
+    point-sharded over the mesh — a drop-in `step_fn` for
+    iterate_bundle_adjust, so the session's global BA (loop-closure close
+    and fossilize) rides the multi-chip solver when a mesh exists
+    (SlamSession.enable_sharded_global_ba). Identical semantics: one LM
+    iteration per Huber-width entry, then outlier extraction on unweighted
+    squared pixel error / behind-camera depth."""
+    iteration = make_sharded_lm_iteration(mesh, axis)
+
+    @jax.jit
+    def step(problem: BAProblem, state: BAState, huber_widths, max_error_square):
+        def body(st, hw):
+            res = iteration(problem, st, hw)
+            return res.state, res.cost
+
+        state, _ = jax.lax.scan(body, state, huber_widths)
+        obs = observation_residuals(problem, state.poses, state.points,
+                                    state.obs_info, jnp.float32(0.0))
+        sum_sq = jnp.sum(obs.r * obs.r, axis=-1)
+        active = state.obs_info > 0
+        is_outlier = active & ((obs.depth <= 0.0) | (sum_sq > max_error_square))
+        survivors = active & jnp.logical_not(is_outlier)
+        mse = jnp.sum(jnp.where(survivors, sum_sq, 0.0)) / jnp.maximum(
+            jnp.sum(survivors.astype(jnp.float32)), 1.0)
+        new_state = state._replace(
+            obs_info=jnp.where(is_outlier, 0.0, state.obs_info))
+        return new_state, mse, is_outlier
+
+    return step

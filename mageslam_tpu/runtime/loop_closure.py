@@ -382,11 +382,14 @@ def close_loop(
     )
 
     # merge: Ki keypoints associated to BOTH an old local point and a cluster
-    # point are duplicates — retarget local → cluster point
+    # point are duplicates — retarget local → cluster point. Both slots must
+    # still be live: with deferred detection (chunk/stream resolution) the
+    # map may have culled either side between dispatch and apply.
     both = (frame.assoc >= 0) & (detection.reloc_assoc >= 0) & frame.kp_valid
     src = jnp.where(both, frame.assoc, 0)
     dst = jnp.where(both, detection.reloc_assoc, 0)
-    different = both & (src != dst)
+    different = (both & (src != dst)
+                 & map_state.mp_valid[src] & map_state.mp_valid[dst])
     map_state = merge_map_points(map_state, src, dst, different)
 
     # distribute the remaining drift over the whole trajectory (Sim(3)

@@ -32,7 +32,7 @@ from ..bow import empty_index, query_keyframes, train_vocabulary
 from ..bow.index import compute_idf
 from ..tracking.relocalization import relocalize
 from ..tracking.track_local_map import track_local_map as _tlm
-from ..config import MageSlamSettings, golden_path_settings
+from ..config import CameraIdentity, MageSlamSettings, golden_path_settings
 from ..geometry.se3 import Pose
 from ..ops.frontend import FrameFeatures, detect_and_compute
 from ..tracking.frame_state import TrackedFrame, TrackingHistory
@@ -118,6 +118,8 @@ class SlamSession:
         self._undistort_pixels = False
         self._raw_cam16 = None
         self._stereo_prep = None    # cached (camera1-bytes, ok, remap, cam16)
+        self._stereo_frontend = None  # vmapped pair frontend (one dispatch)
+        self._frame_cam = None      # per-call (4,) intrinsics override
         if camera is not None:
             from ..ops.undistort import undistorted_calibration
 
@@ -197,10 +199,21 @@ class SlamSession:
         # dispatches; None = reseed from the host ints
         self._dev_counters = None
         self._stream_cores: dict[int, object] = {}
+        # deferred loop-closure detections on the chunk/stream path:
+        # (LoopDetection, frame, keyframe slot, frame id) tuples whose
+        # `detected` flags ride the NEXT group summary fetch (a bare
+        # per-keyframe bool fetch costs a full relay round trip)
+        self._pending_loop_dets: list = []
         # mapping offload (enable_mapping_offload): None = sync mapping
         self._mapping_device = None
         self._offload_core = None
         self._offload_pending = None
+        # multi-chip global BA (loop-closure close + fossilize): None = auto
+        # (shard the Schur solve over all devices when a real accelerator
+        # mesh exists); True/False force. Tests opt in explicitly on the
+        # virtual CPU mesh.
+        self.enable_sharded_global_ba: bool | None = None
+        self._sharded_ba_step = None
         # chunks in flight before resolving (>1 hides the dispatch+fetch
         # round trips behind device compute). Mapping does NOT lag with
         # depth: it runs in-scan on device at the triggering frame
@@ -255,8 +268,11 @@ class SlamSession:
 
     def process_frame(self, image: np.ndarray | jax.Array,
                       timestamp: float, frame_id: int) -> FrameResult:
-        """Analyze + track one grayscale frame (H, W) float32 [0,255]."""
-        image = jnp.asarray(image, jnp.float32)
+        """Analyze + track one grayscale frame (H, W), [0,255] float32 or
+        uint8 (device-resident uint8 frames convert inside the jitted
+        frontend — no eager per-frame cast RPC through a remote relay)."""
+        if not isinstance(image, jax.Array):
+            image = jnp.asarray(image, jnp.float32)
         if self._undistort_pixels:
             if not hasattr(self, "_undistort_jit"):
                 self._undistort_jit = jax.jit(self._preprocess_image)
@@ -337,12 +353,14 @@ class SlamSession:
         primary, frame 2 is resized to the primary's angular resolution with
         its intrinsics scaled to match — the reference's stereo rescale
         (ImageAnalyzer.cpp:131-240 via
-        ImagePreprocessor::ScaleImageForCameraConfiguration); otherwise both
-        frames share the session calibration."""
-        if self.initialized:
-            # tracking is monocular on camera 0 once initialized — the
-            # secondary frame is only consumed by the stereo bootstrap
-            return self.process_frame(image0, timestamp, frame_id)
+        ImagePreprocessor::ScaleImageForCameraConfiguration).
+
+        BOTH frames are analyzed on every call — one vmapped frontend
+        dispatch — and tracking runs on the CONFIGURED primary
+        (StereoSettings.PrimaryTrackingCamera, default STEREO_2), matching
+        Runtime.cpp:236-240: the reference analyzes the pair each frame and
+        tracks the configured camera; the other frame's analysis is
+        dropped (it exists for consumers like the stereo bootstrap)."""
         img0 = jnp.asarray(image0, jnp.float32)
         img1 = jnp.asarray(image1, jnp.float32)
         cam1_16 = self.cam16
@@ -373,26 +391,46 @@ class SlamSession:
                 self._stereo_prep = (key_b, ok, remap, c1)
             _, ok, remap, cam1_16 = self._stereo_prep
             if not ok:
+                if self.initialized:
+                    # cameras don't overlap usefully: track the session
+                    # camera alone (the reference degrades to mono)
+                    return self.process_frame(image0, timestamp, frame_id)
                 result = FrameResult(frame_id, TrackingState.INITIALIZING,
                                      None, 0, False)
                 self.results.append(result)
                 return result
             if remap is not None:
                 img1 = remap(img1)
-        f0 = detect_and_compute(img0, self.cam16, self.fes, self.N)
-        f1 = detect_and_compute(img1, cam1_16, self.fes, self.N)
+        # one vmapped frontend dispatch for the pair (post-rescale shapes
+        # match), then compiled slicing — no eager per-leaf fetches
+        if self._stereo_frontend is None:
+            from functools import partial
+
+            fe = partial(detect_and_compute, fes=self.fes,
+                         max_features=self.N)
+            self._stereo_frontend = jax.jit(jax.vmap(fe))
+        pair = self._stereo_frontend(jnp.stack([img0, img1]),
+                                     jnp.stack([self.cam16, cam1_16]))
+        if self._chunk_slicer is None:
+            self._chunk_slicer = jax.jit(
+                lambda fr, i: jax.tree.map(lambda a: a[i], fr))
+        f0 = self._chunk_slicer(pair, np.int32(0))
+        f1 = self._chunk_slicer(pair, np.int32(1))
         return self.process_stereo_features(f0, f1, frame0_to_frame1,
-                                            timestamp, frame_id)
+                                            timestamp, frame_id,
+                                            cam1=cam1_16[:4])
 
     def process_stereo_features(self, feats0: FrameFeatures, feats1: FrameFeatures,
                                 frame0_to_frame1: Pose, timestamp: float,
-                                frame_id: int) -> FrameResult:
+                                frame_id: int, cam1=None) -> FrameResult:
         """ProcessStereoFrames analogue (MageSlam.cpp:192): before
         initialization, attempt the known-extrinsics stereo bootstrap
         (Stereo/StereoMapInit → StereoInitializationWorker.cpp:52); once
-        initialized, track monocular on camera 0 (the reference rescales the
-        secondary frame to the primary calibration and tracks one camera,
-        ImageAnalyzer.cpp:131-240)."""
+        initialized, track the CONFIGURED primary camera
+        (StereoSettings.PrimaryTrackingCamera — Runtime.cpp:236-240; the
+        default STEREO_2 tracks feats1 under `cam1`, its (4,) rescaled
+        pinhole — tracking/BA read intrinsics from the frame/keyframe, so
+        mixed-calibration rigs work end to end)."""
         if not self.initialized:
             from ..tracking.stereo_init import StereoInitSettings, stereo_initialize
 
@@ -412,6 +450,7 @@ class SlamSession:
                     max_hamming=ss.OrbMatcherSettings.MaxHammingDistance,
                     min_hamming_diff=ss.OrbMatcherSettings.MinHammingDifference,
                 ),
+                cam2=cam1,
             )
             if bool(res.succeeded):
                 # adopt: reuse the mono adoption path with the stereo pair —
@@ -433,6 +472,13 @@ class SlamSession:
                     kind=jnp.int32(TETHER_TRANSFORM), pose=rig,
                     weight=jnp.float32(ss.InitializationTetherStrength),
                 )
+                if cam1 is not None:
+                    # keyframe 1 is the SECONDARY camera's view: it must
+                    # carry its own (rescaled) intrinsics in the bank so
+                    # every later BA window projects it correctly
+                    self.map = self.map._replace(
+                        kf_cam=self.map.kf_cam.at[1].set(
+                            jnp.asarray(cam1, jnp.float32)))
                 result = FrameResult(
                     frame_id, TrackingState.TRACKING,
                     Pose(self.map.kf_pose.R[1], self.map.kf_pose.t[1]),
@@ -442,6 +488,10 @@ class SlamSession:
                                      None, 0, False)
             self.results.append(result)
             return result
+        if (self.settings.StereoSettings.PrimaryTrackingCamera
+                == CameraIdentity.STEREO_2):
+            return self.process_features(feats1, timestamp, frame_id,
+                                         cam=cam1)
         return self.process_features(feats0, timestamp, frame_id)
 
     def _accumulate_bow_training(self, desc: jax.Array, valid: jax.Array):
@@ -475,15 +525,22 @@ class SlamSession:
         self._bow_pool = []
 
     def process_features(self, feats: FrameFeatures, timestamp: float,
-                         frame_id: int) -> FrameResult:
-        self._accumulate_bow_training(feats.desc, feats.valid)
-        if not self.initialized:
-            result = self._try_initialize(feats, timestamp, frame_id)
-        elif self.lost_count >= \
-                self.settings.TrackLocalMapSettings.TrackingLostCountUntilReloc:
-            result = self._relocalize(feats, timestamp, frame_id)
-        else:
-            result = self._track(feats, timestamp, frame_id)
+                         frame_id: int, cam=None) -> FrameResult:
+        """`cam` overrides the frame's (4,) pinhole intrinsics for this call
+        (stereo PrimaryTrackingCamera — the secondary camera's rescaled
+        calibration); None uses the session camera."""
+        self._frame_cam = cam
+        try:
+            self._accumulate_bow_training(feats.desc, feats.valid)
+            if not self.initialized:
+                result = self._try_initialize(feats, timestamp, frame_id)
+            elif self.lost_count >= \
+                    self.settings.TrackLocalMapSettings.TrackingLostCountUntilReloc:
+                result = self._relocalize(feats, timestamp, frame_id)
+            else:
+                result = self._track(feats, timestamp, frame_id)
+        finally:
+            self._frame_cam = None
         self.results.append(result)
         return result
 
@@ -502,7 +559,8 @@ class SlamSession:
     def _frame(self, feats: FrameFeatures, pose: Pose, timestamp, frame_id,
                assoc=None) -> TrackedFrame:
         return TrackedFrame(
-            pose=pose, cam=self.cam,
+            pose=pose,
+            cam=self.cam if self._frame_cam is None else self._frame_cam,
             kp_xy=feats.und_xy, kp_octave=feats.octave, desc=feats.desc,
             kp_valid=feats.valid,
             assoc=assoc if assoc is not None
@@ -1000,15 +1058,29 @@ class SlamSession:
         flags = jnp.stack([
             gate.astype(jnp.int32), res.tracked_count,
             accepted.astype(jnp.int32)])
-        return (m, h, ph, fsk, fsr), (res.frame, flags, ki, n_kf)
+        # post-frame state digest: a weighted reduce over the mutated map
+        # state, riding the chunk summary (19th column) to the Determinator
+        # at resolution — the stream-path DETERMINISTIC_CHECK the reference
+        # runs inside its always-on workers (determinator.h:16-61,
+        # MappingWorker.cpp:247-250). Position weights make permutations
+        # visible; costs one ~100 KB reduce per frame, zero extra fetches.
+        wp = (jnp.arange(m.mp_pos.size, dtype=jnp.float32) % 61.0 + 1.0)
+        wk = (jnp.arange(m.kf_pose.t.size, dtype=jnp.float32) % 53.0 + 1.0)
+        digest = (jnp.sum(m.mp_pos.reshape(-1) * wp) * 1e-3
+                  + jnp.sum(m.kf_pose.t.reshape(-1) * wk)
+                  + jnp.sum(m.mp_valid.astype(jnp.float32)) * 7.0
+                  + fsk.astype(jnp.float32) * 1.3
+                  + n_kf.astype(jnp.float32) * 0.7)
+        return (m, h, ph, fsk, fsr), (res.frame, flags, ki, n_kf, digest)
 
     @staticmethod
-    def _chunk_summary(frames_out, flags, kis, fsks, nkfs):
-        """(C, 18) per-frame summary: flags(3) + R(9) + t(3) + keyframe
-        slot(1) + frames_since_keyframe-after(1) + keyframes-in-map(1) — ONE
-        device→host fetch per chunk (per-buffer fetches are one relay round
-        trip EACH through a remote TPU attachment; the n_kf column spares
-        the loop-closure gate its own fetch per keyframe)."""
+    def _chunk_summary(frames_out, flags, kis, fsks, nkfs, digests):
+        """(C, 19) per-frame summary: flags(3) + R(9) + t(3) + keyframe
+        slot(1) + frames_since_keyframe-after(1) + keyframes-in-map(1) +
+        state digest(1) — ONE device→host fetch per chunk (per-buffer
+        fetches are one relay round trip EACH through a remote TPU
+        attachment; the n_kf column spares the loop-closure gate its own
+        fetch per keyframe; the digest column feeds the Determinator)."""
         C = flags.shape[0]
         return jnp.concatenate([
             flags.astype(jnp.float32),
@@ -1017,6 +1089,7 @@ class SlamSession:
             kis.astype(jnp.float32)[:, None],
             fsks.astype(jnp.float32)[:, None],
             nkfs.astype(jnp.float32)[:, None],
+            digests.astype(jnp.float32)[:, None],
         ], axis=1)
 
     def _build_chunk_core(self, chunk: int):
@@ -1038,16 +1111,17 @@ class SlamSession:
 
             def body(carry, xs):
                 image, ts, fid = xs
-                carry, (frame_out, flags, ki, n_kf) = self._scan_frame_body(
-                    carry, image, ts, fid, map_scale)
+                carry, (frame_out, flags, ki, n_kf, dig) = \
+                    self._scan_frame_body(carry, image, ts, fid, map_scale)
                 fsk = carry[3]
-                return carry, (frame_out, flags, ki, fsk, n_kf)
+                return carry, (frame_out, flags, ki, fsk, n_kf, dig)
 
-            (m, h, ph, fsk, fsr), (frames_out, flags, kis, fsks, nkfs) = \
-                jax.lax.scan(
+            (m, h, ph, fsk, fsr), \
+                (frames_out, flags, kis, fsks, nkfs, digs) = jax.lax.scan(
                     body, (map_state, history, pose_history, fsk0, fsr0),
                     (images, timestamps, frame_ids))
-            summary = self._chunk_summary(frames_out, flags, kis, fsks, nkfs)
+            summary = self._chunk_summary(frames_out, flags, kis, fsks, nkfs,
+                                          digs)
             return m, h, ph, frames_out, summary, fsk, fsr
 
         return jax.jit(chunk_step)
@@ -1067,16 +1141,17 @@ class SlamSession:
                     ts_bank, start + i, 0, keepdims=False)
                 fid = jax.lax.dynamic_index_in_dim(
                     fid_bank, start + i, 0, keepdims=False)
-                carry, (frame_out, flags, ki, n_kf) = self._scan_frame_body(
-                    carry, image, ts, fid, map_scale)
+                carry, (frame_out, flags, ki, n_kf, dig) = \
+                    self._scan_frame_body(carry, image, ts, fid, map_scale)
                 fsk = carry[3]
-                return carry, (frame_out, flags, ki, fsk, n_kf)
+                return carry, (frame_out, flags, ki, fsk, n_kf, dig)
 
-            (m, h, ph, fsk, fsr), (frames_out, flags, kis, fsks, nkfs) = \
-                jax.lax.scan(
+            (m, h, ph, fsk, fsr), \
+                (frames_out, flags, kis, fsks, nkfs, digs) = jax.lax.scan(
                     body, (map_state, history, pose_history, fsk0, fsr0),
                     jnp.arange(chunk))
-            summary = self._chunk_summary(frames_out, flags, kis, fsks, nkfs)
+            summary = self._chunk_summary(frames_out, flags, kis, fsks, nkfs,
+                                          digs)
             return m, h, ph, frames_out, summary, fsk, fsr
 
         return jax.jit(stream_step)
@@ -1194,8 +1269,55 @@ class SlamSession:
         host counters are synced from the device summaries, so subsequent
         per-frame dispatches reseed exactly."""
         out = self._resolve_chunks(len(self._pending_chunks))
+        # drain detections dispatched during that resolve (their flags had
+        # no later group fetch to ride)
+        self._resolve_loop_dets()
         self._dev_counters = None
         return out
+
+    # live-session state fields rewound by snapshot_state/restore_state
+    # (everything mutated by the frame loop; compiled cores, settings and
+    # calibration are deliberately NOT part of a snapshot)
+    _SNAP_ATTRS = (
+        "map", "history", "pose_history", "bow", "key", "initialized",
+        "lost_count", "frames_since_keyframe", "frames_since_reloc",
+        "map_scale", "last_kf_slot", "n_loops_closed", "prev_features",
+        "prev_meta", "_bow_retrained",
+    )
+
+    def snapshot_state(self) -> dict:
+        """In-memory snapshot of the live session state. Device buffers are
+        immutable functional pytrees, so this is O(1) — a dict of
+        references, no copies. `restore_state` rewinds the session to this
+        exact point while keeping every compiled core (io/snapshot.py is
+        the durable on-disk variant). Drains in-flight chunked work first
+        so the snapshot is a consistent resolution boundary. Fuser state
+        (visual-inertial path) is not captured."""
+        if self._pending_chunks:
+            self.flush_chunks()
+        if self._pending:
+            self.flush()
+        self._resolve_loop_dets()
+        self._adopt_offloaded_mapping()
+        snap = {a: getattr(self, a) for a in self._SNAP_ATTRS}
+        snap["_bow_pool"] = list(self._bow_pool)
+        snap["_init_window"] = list(self._init_window)
+        snap["n_results"] = len(self.results)
+        return snap
+
+    def restore_state(self, snap: dict) -> None:
+        """Rewind to a snapshot_state() point (same session only). Results
+        recorded after the snapshot are dropped; compiled cores are kept."""
+        self._pending_chunks.clear()
+        self._pending.clear()
+        self._pending_loop_dets = []
+        self._offload_pending = None
+        self._dev_counters = None
+        for a in self._SNAP_ATTRS:
+            setattr(self, a, snap[a])
+        self._bow_pool = list(snap["_bow_pool"])
+        self._init_window = list(snap["_init_window"])
+        del self.results[snap["n_results"]:]
 
     def _resolve_chunk(self) -> list[FrameResult]:
         return self._resolve_chunks(1)
@@ -1207,16 +1329,36 @@ class SlamSession:
         summaries of many chunks are stacked on-device and fetched together."""
         count = min(count, len(self._pending_chunks))
         if count == 0:
+            self._resolve_loop_dets()
             return []
         batch = self._pending_chunks[:count]
         del self._pending_chunks[:count]
-        if count == 1:
+        dets = self._pending_loop_dets
+        if dets:
+            # previously-deferred loop-detection flags ride THIS group's
+            # summary fetch: one round trip resolves both
+            det_flags = jnp.stack(
+                [d.detected for d, _, _, _ in dets]).astype(jnp.float32)
+            flat = np.asarray(jnp.concatenate(
+                [b[1].reshape(-1) for b in batch] + [det_flags]))
+            s_all, offs = [], 0
+            for b in batch:
+                n = b[1].shape[0] * b[1].shape[1]
+                s_all.append(flat[offs:offs + n].reshape(b[1].shape))
+                offs += n
+            self._resolve_loop_dets(flags=flat[offs:])
+        elif count == 1:
             s_all = np.asarray(batch[0][1])[None]
         else:
             s_all = np.asarray(jnp.stack([b[1] for b in batch]))
         results: list[FrameResult] = []
         kf_fid_now = None     # lazy one-shot fetch, only if a keyframe resolved
         for (frames_out, _, frame_ids), s in zip(batch, s_all):
+            # stream-path DETERMINISTIC_CHECK: the whole summary (poses,
+            # flags, counters, per-frame state digests) — already on host,
+            # zero extra fetches (reference: determinator CRCs inside its
+            # always-running workers, determinator.h:16-61)
+            self._det_check("Stream.Chunk", np.ascontiguousarray(s))
             all_flags = s[:, :3].astype(np.int64)
             pose_R = s[:, 3:12].reshape(-1, 3, 3)
             pose_t = s[:, 12:15]
@@ -1269,7 +1411,15 @@ class SlamSession:
                         frame_k.kp_valid)
                     self.bow = self.bow._replace(
                         kf_has=self.bow.kf_has & self.map.kf_valid)
-                    self._maybe_close_loop(frame_k, ki_i, n_kf=int(nkfs[k]))
+                    # loop detection dispatches NOW (against the current map/
+                    # BoW) but its detected flag is read at the NEXT group
+                    # resolution, riding that fetch — zero blocking reads on
+                    # the streaming fast path
+                    det = self._dispatch_loop_detect(frame_k, ki_i,
+                                                     n_kf=int(nkfs[k]))
+                    if det is not None:
+                        self._pending_loop_dets.append(
+                            (det, frame_k, ki_i, int(frame_id)))
                 results.append(FrameResult(frame_id, TrackingState.TRACKING,
                                            pose, int(tracked), bool(accepted)))
         self.results.extend(results)
@@ -1600,7 +1750,10 @@ class SlamSession:
                     jnp.reshape(n_kf >= lc.MinKeyframe, (1,) * a.ndim), a, b),
                 cheap_loop_closure(map_state, frame), frame)
             map_state, ki = insert_keyframe(
-                map_state, frame.pose, cam, frame.frame_id,
+                # frame.cam, not the session cam: with a stereo rig tracking
+                # the secondary camera (PrimaryTrackingCamera=STEREO_2) the
+                # keyframe must carry ITS camera's rescaled intrinsics
+                map_state, frame.pose, frame.cam, frame.frame_id,
                 frame.kp_xy, frame.kp_octave, frame.desc, frame.kp_valid,
                 frame.assoc,
             )
@@ -1789,6 +1942,35 @@ class SlamSession:
             self._maybe_close_loop(frame, ki_i)
 
     # ------------------------------------------------------------------ #
+    def _global_ba_step_fn(self):
+        """Per-run BA primitive for the global BA: the dense single-device
+        step, or the point-sharded multi-chip Schur step when a mesh exists
+        (parallel/sharded_ba.py; numerically equivalent —
+        tests/test_global_ba_capacity.py asserts it at full budgets).
+        enable_sharded_global_ba: None = auto (shard when >1 accelerator
+        device), True/False force. Built once and cached; the mesh spans the
+        largest device-count that divides the point budget."""
+        if self._sharded_ba_step is not None:
+            return self._sharded_ba_step
+        devs = jax.devices()
+        use = self.enable_sharded_global_ba
+        if use is None:
+            use = len(devs) > 1 and jax.default_backend() != "cpu"
+        n = len(devs)
+        P = self.settings.Budgets.MaxMapPoints
+        while n > 1 and P % n:
+            n -= 1
+        if use and n > 1:
+            from jax.sharding import Mesh
+
+            from ..parallel.sharded_ba import make_sharded_step_bundle_adjust
+
+            mesh = Mesh(np.array(devs[:n]), ("model",))
+            self._sharded_ba_step = make_sharded_step_bundle_adjust(mesh)
+        else:
+            self._sharded_ba_step = step_bundle_adjust
+        return self._sharded_ba_step
+
     def _global_ba(self, steps: int, huber: float = 0.9,
                    max_outlier_error: float = 4.0, bas=None):
         """Whole-map BA (loop-closure close + Fossilize both use this —
@@ -1818,6 +2000,7 @@ class SlamSession:
             num_steps=steps,
             steps_per_run=max(bas.NumStepsPerRun, 1),
             min_steps=bas.MinSteps,
+            step_fn=self._global_ba_step_fn(),
         )
         self.map = apply_ba_results(
             self.map, window, st.poses, st.points, outliers,
@@ -1825,25 +2008,27 @@ class SlamSession:
         )
         return float(mse)
 
-    def _maybe_close_loop(self, frame: TrackedFrame, ki_i: int,
-                          n_kf: int | None = None):
-        """Loop detection + closing for the new keyframe (LoopClosureWorker::
-        AttemptLoopClosure via the LoopDetection schedule, Runtime.cpp:552-573).
-        Host-gated: rare path, separately jitted."""
+    def _dispatch_loop_detect(self, frame: TrackedFrame, ki_i: int,
+                              n_kf: int | None = None):
+        """Dispatch loop detection for a new keyframe; returns the
+        device-resident LoopDetection (NO fetch) or None when host-gated
+        off. Callers decide when to read `detected` — the sync path reads it
+        immediately, the chunk/stream path defers it onto the next group
+        summary fetch (_resolve_loop_dets)."""
         lc = self.settings.LoopClosureSettings
         if not lc.EnableLoopClosure:
-            return False
+            return None
         # n_kf rides the chunk summary when available — a bare jnp.sum fetch
         # costs a full relay round trip per keyframe otherwise
         if n_kf is None:
             n_kf = int(jnp.sum(self.map.kf_valid))
         if n_kf < lc.MinKeyframe:
-            return False
-        from .loop_closure import close_loop, detect_loop
+            return None
+        from .loop_closure import detect_loop
 
         rs = self.settings.RelocalizationSettings
         self.key, sub = jax.random.split(self.key)
-        det = detect_loop(
+        return detect_loop(
             self.map, self.bow, frame, jnp.int32(ki_i), sub,
             covis_loop_threshold=self.settings.CovisibilitySettings.CovisLoopThreshold,
             covis_cluster_threshold=self.settings.CovisibilitySettings.CovisMinThreshold,
@@ -1856,10 +2041,13 @@ class SlamSession:
                 search_radius=lc.MatchSearchRadius,
             ),
         )
-        self._det_check("LoopClosure.Detect", det.detected, det.scale,
-                        det.cluster_mask)
-        if not bool(det.detected):
-            return False
+
+    def _apply_loop_closure(self, det, frame: TrackedFrame, ki_i: int) -> bool:
+        """Close the detected loop (LoopClosureWorker::CloseLoop): similarity
+        correction + merge + essential-graph drift distribution + global BA."""
+        from .loop_closure import close_loop
+
+        lc = self.settings.LoopClosureSettings
         self.map = close_loop(
             self.map, det, frame, jnp.int32(ki_i),
             covis_theta=self.settings.CovisibilitySettings.CovisMinThreshold,
@@ -1877,6 +2065,57 @@ class SlamSession:
                         self.map.mp_pos)
         self.n_loops_closed += 1
         return True
+
+    def _maybe_close_loop(self, frame: TrackedFrame, ki_i: int,
+                          n_kf: int | None = None):
+        """Loop detection + closing for the new keyframe (LoopClosureWorker::
+        AttemptLoopClosure via the LoopDetection schedule, Runtime.cpp:552-573).
+        Host-gated: rare path, separately jitted. Synchronous form (used by
+        the per-frame paths; the chunk/stream path defers the detected-flag
+        read instead — see _resolve_loop_dets)."""
+        det = self._dispatch_loop_detect(frame, ki_i, n_kf)
+        if det is None:
+            return False
+        self._det_check("LoopClosure.Detect", det.detected, det.scale,
+                        det.cluster_mask)
+        if not bool(det.detected):
+            return False
+        return self._apply_loop_closure(det, frame, ki_i)
+
+    def _resolve_loop_dets(self, flags=None) -> None:
+        """Resolve deferred loop-closure detections from the chunk/stream
+        resolution path. `flags`: pre-fetched detected values riding the
+        group summary fetch (one round trip covers both); None fetches here
+        (flush / lost-path drain). Closure applies one resolution group
+        after detection — the loop-closure thread in the reference similarly
+        trails tracking (Runtime.cpp:552-573 interleaves tracking reads)."""
+        dets = self._pending_loop_dets
+        if not dets:
+            return
+        self._pending_loop_dets = []
+        if flags is None:
+            flags = np.asarray(jnp.stack(
+                [d.detected for d, _, _, _ in dets]).astype(jnp.float32))
+        for (det, frame_k, ki_i, fid), hit in zip(dets, flags):
+            self._det_check("LoopClosure.Detect", det.detected, det.scale,
+                            det.cluster_mask)
+            if not (hit > 0):
+                continue
+            # the slot may have been culled and re-used by frames resolved
+            # since dispatch — closing against the new occupant would poison
+            # the map (same guard as the keyframe resolution path)
+            if int(np.asarray(self.map.kf_frame_id[ki_i])) != int(fid):
+                continue
+            self._apply_loop_closure(det, frame_k, ki_i)
+            # one closure per batch: the remaining detections were computed
+            # against the PRE-closure map (poses/points/covisibility all
+            # moved) — applying them would re-close the same loop with stale
+            # corrections. The sync path gets this for free by applying
+            # before the next detection runs; later keyframes re-detect
+            # against the merged map at their next resolution if residual
+            # drift remains (LoopClosureWorker re-attempt schedule,
+            # Runtime.cpp:552-573).
+            break
 
     def get_tracking_results_for_frames(self, frame_ids):
         """Live-session trajectory query (MAGESlam::GetTrackingResultsForFrames,
@@ -1916,6 +2155,10 @@ class SlamSession:
     def fossilize(self, global_ba_steps: int | None = None):
         """Final global BA + frozen trajectory (MAGESlam::Fossilize,
         MageSlam.cpp:322-383). Returns (frame_ids, poses (M,4,4) world→camera)."""
+        if self._pending_chunks or self._pending:
+            self.flush_chunks()
+            self.flush()
+        self._resolve_loop_dets()
         self._adopt_offloaded_mapping()
         steps = global_ba_steps if global_ba_steps is not None else \
             self.settings.GraphOptimizationSettings.NumSteps

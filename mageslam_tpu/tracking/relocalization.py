@@ -95,7 +95,13 @@ def relocalize(
         )
 
         # 4. guided radius rematch: project ALL candidate points with pose1,
-        #    match at SearchRadius against all current keypoints
+        #    match at SearchRadius against all current keypoints. OCTAVE-
+        #    AWARE like the tracking cascade: the observing keyframe
+        #    keypoint's pyramid level must match the current keypoint's
+        #    (the reference's spatial index stores octave as a 3rd query
+        #    coordinate for reloc's rematch too, KeypointSpatialIndex.h:
+        #    36-37); octave-agnostic matching loses candidates to the
+        #    second-best ambiguity gate on self-similar structure.
         Xc = pose1.transform(pts3d)
         z = Xc[:, 2]
         inv_z = 1.0 / jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
@@ -104,10 +110,10 @@ def relocalize(
         proj = jnp.stack([u, v], axis=-1)
         cand = kc_valid & ok & (z > 0)
         r_idx, r_dist = radius_match(
-            kc_desc, proj, jnp.zeros((N,), jnp.int32), cand,
-            frame.desc, frame.kp_xy, jnp.zeros((N,), jnp.int32), frame.kp_valid,
+            kc_desc, proj, state.kf_kp_octave[kc_s], cand,
+            frame.desc, frame.kp_xy, frame.kp_octave, frame.kp_valid,
             jnp.float32(search_radius), jnp.int32(max_hamming),
-            jnp.int32(min_hamming_diff),
+            jnp.int32(min_hamming_diff), octave_tol=1,
         )
         r_idx = dedup_by_target(r_idx, r_dist)
         r_has = r_idx >= 0

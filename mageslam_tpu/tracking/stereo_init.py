@@ -49,11 +49,15 @@ class StereoInitSettings(NamedTuple):
 def stereo_initialize(
     xy0: jax.Array, desc0: jax.Array, valid0: jax.Array,
     xy1: jax.Array, desc1: jax.Array, valid1: jax.Array,
-    cam: jax.Array,              # (4,) shared undistorted intrinsics
+    cam: jax.Array,              # (4,) camera-0 undistorted intrinsics
     frame0_to_frame1: Pose,      # known extrinsic transform (camera0 → camera1)
     settings: StereoInitSettings = StereoInitSettings(),
+    cam2: jax.Array | None = None,  # (4,) camera-1 intrinsics (mixed rigs:
+                                    # the rescaled secondary calibration —
+                                    # ImageAnalyzer.cpp:131-240); None = cam
 ) -> InitResult:
     N = xy0.shape[0]
+    cam2 = cam if cam2 is None else cam2
 
     # normalize the extrinsics to unit baseline — map units = baselines
     # (StereoMapInit.cpp:135-148)
@@ -74,8 +78,8 @@ def stereo_initialize(
     uv2 = xy1[m_safe]
 
     # triangulate with the KNOWN relative pose
-    X = triangulate_dlt(cam, pose1, uv1, cam, pose2, uv2)
-    X_mid = triangulate_midpoint(cam, pose1, uv1, cam, pose2, uv2)
+    X = triangulate_dlt(cam, pose1, uv1, cam2, pose2, uv2)
+    X_mid = triangulate_midpoint(cam, pose1, uv1, cam2, pose2, uv2)
     X = jnp.where(jnp.isfinite(X).all(axis=-1, keepdims=True), X, X_mid)
 
     # gates: cheirality both views, symmetric epipolar error, distance ratio
@@ -93,7 +97,12 @@ def stereo_initialize(
         [0.0, 1.0 / cam[1], -cam[3] / cam[1]],
         [0.0, 0.0, 1.0],
     ])
-    F = Kinv.T @ E @ Kinv
+    Kinv2 = jnp.array([
+        [1.0 / cam2[0], 0.0, -cam2[2] / cam2[0]],
+        [0.0, 1.0 / cam2[1], -cam2[3] / cam2[1]],
+        [0.0, 0.0, 1.0],
+    ])
+    F = Kinv2.T @ E @ Kinv
     one = jnp.ones_like(uv1[:, :1])
     h1 = jnp.concatenate([uv1, one], axis=-1)
     h2 = jnp.concatenate([uv2, one], axis=-1)
@@ -120,7 +129,7 @@ def stereo_initialize(
     obs_info = jnp.concatenate([inlier, inlier]).astype(jnp.float32)
     problem = problem._replace(
         poses=Pose(jnp.stack([pose1.R, pose2.R]), jnp.stack([pose1.t, pose2.t])),
-        intrinsics=jnp.tile(cam[None], (2, 1)),
+        intrinsics=jnp.stack([cam, cam2]),
         cam_fixed=jnp.array([True, False]),
         cam_valid=jnp.array([True, True]),
         points=X,

@@ -208,6 +208,7 @@ def refresh_point_stats(state: MapState, touched: jax.Array, num_levels: int,
     from ..ops.matching import popcount_u32
 
     K, P, N = state.capacity
+    max_obs_kf = min(max_obs_kf, K)   # tiny-budget maps (e.g. dryrun) have K < 16
     member = point_keyframe_matrix(state)                     # (K, P)
     n_obs = jnp.sum(member.astype(jnp.int32), axis=0)         # (P,)
 
@@ -284,6 +285,7 @@ def refresh_point_stats_slots(state: MapState, slots: jax.Array,
     from ..ops.matching import popcount_u32
 
     K, P, N = state.capacity
+    max_obs_kf = min(max_obs_kf, K)   # tiny-budget maps (e.g. dryrun) have K < 16
     S = slots.shape[0]
     ok_s = (slots >= 0) & (slots < P)
     slot_safe = jnp.where(ok_s, slots, 0)

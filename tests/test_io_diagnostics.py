@@ -259,6 +259,73 @@ class TestDeterminismReplay:
         run(d2)
         assert d2.is_deterministic, d2.divergences[:3]
 
+    def test_stream_run_replays_bit_identically(self, rng):
+        """VERDICT r2 #5: the chunk/stream path — the bench path, frontend +
+        tracking + in-scan mapping fused into device-side scans — records
+        per-chunk DETERMINISTIC_CHECKs ("Stream.Chunk": the (C,19) summary
+        whose 19th column is a per-frame weighted state digest computed on
+        device, riding the existing summary fetch) and replays
+        bit-identically at bench pipelining depth (reference: determinator
+        CRCs inside its always-running workers, determinator.h:16-61)."""
+        from mageslam_tpu.diagnostics import Determinator
+        from mageslam_tpu.runtime import SlamSession
+
+        W2, H2 = 320, 180
+        FX2 = FY2 = 260.0
+        CX2, CY2 = 160.0, 90.0
+        cam2 = jnp.array([FX2, FY2, CX2, CY2], jnp.float32)
+        rng2 = np.random.RandomState(21)
+        n_pts = 240
+        pts = np.stack([
+            rng2.uniform(-1.0, 9.0, n_pts),
+            rng2.uniform(-2.0, 2.0, n_pts),
+            rng2.uniform(3.0, 7.0, n_pts),
+        ], 1).astype(np.float32)
+        patches = rng2.uniform(30, 220, (n_pts, 13, 13)).astype(np.float32)
+
+        def render(t):
+            c = np.array([1.5 * t, 0.04 * np.sin(1.5 * t), 0.0], np.float32)
+            Xc = pts - c[None, :]
+            z = Xc[:, 2]
+            u = FX2 * Xc[:, 0] / z + CX2
+            v = FY2 * Xc[:, 1] / z + CY2
+            img = np.zeros((H2, W2), np.float32)
+            vis = (z > 1.0) & (u > 9) & (u < W2 - 9) & (v > 9) & (v < H2 - 9)
+            for i in np.where(vis)[0]:
+                x, y = int(round(u[i])), int(round(v[i]))
+                img[y - 6:y + 7, x - 6:x + 7] = patches[i]
+            return img
+
+        n_total, warm_n, chunk = 110, 30, 8
+        images = [jnp.asarray(render(i * 0.033)) for i in range(n_total)]
+        bank = jnp.stack(images)
+
+        def run(det):
+            sess = SlamSession(cam=cam2, image_width=W2, image_height=H2,
+                               seed=5, determinator=det)
+            sess._chunk_pipeline_depth = 4       # bench configuration
+            for i in range(warm_n):
+                sess.process_frame(images[i], i * 0.033, i)
+            sess.process_frame_stream(
+                bank, [i * 0.033 for i in range(n_total)],
+                list(range(n_total)), start=warm_n, stop=n_total, chunk=chunk)
+            return sess
+
+        import tempfile
+        d1 = Determinator()
+        s1 = run(d1)
+        stream_checks = [n for n, _ in d1._stream if n == "Stream.Chunk"]
+        assert len(stream_checks) == (n_total - warm_n) // chunk
+        assert sum(r.is_keyframe for r in s1.results) >= 2, \
+            "stream window must cross in-scan mapping events"
+
+        path = os.path.join(tempfile.mkdtemp(), "stream_trace.json")
+        d1.save(path)
+        d2 = Determinator()
+        d2.load_for_verify(path)
+        run(d2)
+        assert d2.is_deterministic, d2.divergences[:3]
+
     def test_xray_decorator(self):
         from mageslam_tpu.diagnostics.trace import xray
 

@@ -390,6 +390,49 @@ class TestChunkedExploring:
             int(jnp.sum(s_ref.map.kf_valid))
 
 
+class TestDeferredLoopDets:
+    def test_resolution_guards_and_flag_riding(self):
+        """Chunk/stream loop closure defers the detected-flag read onto the
+        next group summary fetch (_resolve_loop_dets). Mechanism contract:
+        a hit on a still-live slot applies; a hit whose keyframe slot was
+        culled and re-used since dispatch is dropped (closing against the
+        new occupant would poison the map); a miss is dropped. Covers both
+        the rides-the-fetch (flags=) and the flush (fetch-here) forms."""
+        from mageslam_tpu.runtime.loop_closure import LoopDetection
+
+        sess = SlamSession(cam=CAM, image_width=int(W), image_height=int(H))
+        K = sess.map.kf_frame_id.shape[0]
+        # slot 3 currently holds frame 77; slot 5 was re-used → frame 99
+        sess.map = sess.map._replace(kf_frame_id=sess.map.kf_frame_id
+                                     .at[3].set(77).at[5].set(99))
+        applied = []
+        sess._apply_loop_closure = lambda det, fr, ki: applied.append(int(ki))
+
+        def fake_det(hit):
+            return LoopDetection(
+                detected=jnp.asarray(hit), reloc_pose=None,
+                reloc_assoc=jnp.zeros((4,), jnp.int32),
+                scale=jnp.float32(1.0), cluster_mask=jnp.zeros((K,), bool))
+
+        # rides-the-fetch form: flags pre-fetched by the group resolution
+        sess._pending_loop_dets = [
+            (fake_det(True), "frameA", 3, 77),    # live slot → applies
+            (fake_det(True), "frameB", 5, 42),    # slot re-used → dropped
+            (fake_det(False), "frameC", 3, 77),   # miss → dropped
+        ]
+        sess._resolve_loop_dets(flags=np.array([1.0, 1.0, 0.0], np.float32))
+        assert applied == [3]
+        assert sess._pending_loop_dets == []
+
+        # flush form: no pre-fetched flags, resolver reads the devices itself
+        sess._pending_loop_dets = [(fake_det(True), "frameA", 3, 77)]
+        sess._resolve_loop_dets()
+        assert applied == [3, 3]
+        # idempotent on empty
+        sess._resolve_loop_dets()
+        assert applied == [3, 3]
+
+
 class TestLongRun:
     def test_banks_stay_bounded_and_tracking_survives(self, rng):
         """120 frames over a long revisiting trajectory: culling keeps the

@@ -5,15 +5,25 @@ Each timed frame runs BOTH stages of the per-frame pipeline at full budgets:
      grayscale image,
   2. the tracking fast path (motion prior → guided 3-radius match →
      two-stage track-local-map pose optimization) against a live map,
-plus the mapping schedule (new points + local BA + culls) whenever the
-keyframe decision fires — exactly the work MAGE-SLAM does per frame.
+plus — because the trajectory EXPLORES fresh ground for the whole timed
+window — the full mapping schedule (insert → cull → new points → local BA →
+keyframe cull) firing at console keyframe cadence (~1 keyframe / 45-60
+frames) IN the timed region, exactly the work MAGE-SLAM does per frame.
 
 Fully end-to-end: the frontend's features from the rendered images drive
 initialization and tracking (no side-channel ground truth). Tracking
 correctness is enforced: untracked frames zero out the reported value.
 Frames run through the chunked stream path (32 frames per compiled
 dispatch, a device-side lax.scan of the same fused per-frame step — bit-
-identical to the per-frame path, tests/test_pipeline.py TestChunkedFrameLoop).
+identical to the per-frame path, tests/test_pipeline.py TestChunkedFrameLoop
+/ TestChunkedExploring). Images stream as uint8 (camera-native; 4× less
+HBM/relay traffic than f32), converted on device.
+
+Every timed pass starts from the SAME post-warmup session snapshot
+(SlamSession.snapshot_state/restore_state — O(1), buffers are immutable):
+each pass maps the same fresh ground, inserting the same keyframes, so
+passes are comparable run-to-run and commit-to-commit (ADVICE r2) and the
+median is over identical workloads.
 
 Prints ONE JSON line. vs_baseline is against the reference's 30 fps design
 target (TARGET_FRAME_RATE, Core/MAGESLAM/Source/MAGESlam.cpp:35-38) — the
@@ -29,14 +39,18 @@ import numpy as np
 W, H = 640, 480
 FX = FY = 520.0
 CX, CY = 320.0, 240.0
-N_POINTS = 250
+N_POINTS = 700
 N_FRAMES = 380
 WARMUP_FRAMES = 40
+SPEED = 1.5     # u/s — console keyframe cadence on exploring ground
+                # (overlap < 0.5 after ~2.5 u of travel ≈ 50 frames)
 
 
 def build_world(rng):
+    # world structure spread along the whole exploring trajectory
+    # (SPEED * N_FRAMES/30 ≈ 19 units of travel)
     pts = np.stack([
-        rng.uniform(-4, 4, N_POINTS),
+        rng.uniform(-4, 23, N_POINTS),
         rng.uniform(-3, 3, N_POINTS),
         rng.uniform(3, 8, N_POINTS),
     ], 1).astype(np.float32)
@@ -50,15 +64,12 @@ def build_world(rng):
     return pts, patches
 
 
-T_WARM = 1.0   # linear travel during warmup gives init parallax
-
-
 def camera_center(t):
-    # linear travel until T_WARM (parallax for initialization), then oscillate
-    # across the mapped region so the timed window is steady-state tracking
-    base = 1.1 * min(t, T_WARM)
-    osc = 0.45 * np.sin(1.2 * max(t - T_WARM, 0.0))
-    return np.array([base + osc, 0.05 * np.sin(1.5 * t), 0.0], np.float32)
+    # continuous exploration: fresh structure enters the view for the whole
+    # run, so keyframes + mapping fire at console cadence INSIDE the timed
+    # window (VERDICT r2 #1 — the old oscillating window re-tracked mapped
+    # ground and the in-scan mapping branch almost never took its paid side)
+    return np.array([SPEED * t, 0.05 * np.sin(1.5 * t), 0.0], np.float32)
 
 
 def render(pts, patches, t):
@@ -91,9 +102,12 @@ def onchip_selfchecks():
         return
     from mageslam_tpu.ops.pallas_kernels import hamming_matrix_pallas
 
+    # shapes kept small: kernel-correctness coverage is shape-independent
+    # and relay-side compile time is the bench's scarcest budget (a 512x448
+    # pair + 307k-score topk cost ~156 s of compile through the tunnel)
     rng = np.random.RandomState(3)
-    a = jnp.asarray(rng.randint(0, 2**31, (512, 8)).astype(np.uint32))
-    b = jnp.asarray(rng.randint(0, 2**31, (448, 8)).astype(np.uint32))
+    a = jnp.asarray(rng.randint(0, 2**31, (256, 8)).astype(np.uint32))
+    b = jnp.asarray(rng.randint(0, 2**31, (192, 8)).astype(np.uint32))
 
     @jax.jit
     def both(a, b):
@@ -104,90 +118,127 @@ def onchip_selfchecks():
     assert (d_pallas == d_swar).all(), \
         f"pallas/SWAR mismatch: {np.abs(d_pallas - d_swar).max()}"
 
-    scores = jnp.asarray(rng.rand(480 * 640).astype(np.float32))
+    scores = jnp.asarray(rng.rand(65536).astype(np.float32))
 
     @jax.jit
     def topk(s):
-        _, exact = jax.lax.top_k(s, 512)
-        _, approx = jax.lax.approx_max_k(s, 512, recall_target=0.99)
+        _, exact = jax.lax.top_k(s, 256)
+        _, approx = jax.lax.approx_max_k(s, 256, recall_target=0.99)
         return exact, approx
 
     exact, approx = jax.device_get(topk(scores))
-    recall = len(set(exact.tolist()) & set(approx.tolist())) / 512.0
+    recall = len(set(exact.tolist()) & set(approx.tolist())) / 256.0
     assert recall >= 0.97, f"approx_max_k recall {recall}"
     print(f"onchip selfchecks ok (pallas exact, approx topk recall "
           f"{recall:.3f})", file=sys.stderr)
 
 
 def main():
+    import dataclasses
+    import sys
+
     import jax
     import jax.numpy as jnp
+    from mageslam_tpu.config import golden_path_settings
     from mageslam_tpu.runtime import SlamSession, TrackingState
 
+    # persistent compile cache: executables survive across bench runs, so a
+    # driver run right after a warm run pays zero relay-side compile time —
+    # measured compile cost for the same executables has varied 20 s ↔ 170 s
+    # with relay phase (verified working against the axon backend)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    t_start = time.perf_counter()
+
+    def stage(msg):
+        print(f"[bench +{time.perf_counter()-t_start:6.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
     onchip_selfchecks()
+    stage("selfchecks done")
     rng = np.random.RandomState(7)
     pts, patches = build_world(rng)
+    # uint8 bank: the camera-native dtype — 4× less relay upload + HBM
+    # traffic per frame fetch; cores convert on device (_preprocess_image)
     bank = jax.device_put(jnp.asarray(np.stack(
-        [render(pts, patches, i * 0.033) for i in range(N_FRAMES)])))
+        [np.clip(render(pts, patches, i * 0.033), 0, 255)
+         for i in range(N_FRAMES)]).astype(np.uint8)))
     jax.block_until_ready(bank)
+    stage("bank uploaded")
     ts_all = [i * 0.033 for i in range(N_FRAMES)]
     ids_all = list(range(N_FRAMES))
     cam = jnp.array([FX, FY, CX, CY], jnp.float32)
-    sess = SlamSession(cam=cam, image_width=W, image_height=H)
+    s = golden_path_settings()
+    # MinKeyframe 10→3: dispatch loop DETECTION from the first post-init
+    # keyframe so (a) detect_loop compiles during warmup, never inside a
+    # timed pass, and (b) the timed window carries the per-keyframe
+    # loop-detection dispatch a mature map would (the detected flag rides
+    # the group summary fetch — runtime/pipeline._resolve_loop_dets — so
+    # this costs no blocking reads). Strictly MORE work than golden, where
+    # detection would start only once 10 keyframes exist.
+    s = dataclasses.replace(
+        s, LoopClosureSettings=dataclasses.replace(
+            s.LoopClosureSettings, MinKeyframe=3))
+    sess = SlamSession(s, cam=cam, image_width=W, image_height=H)
     # deepen the flag-readback pipeline beyond the keyframe backlog default:
     # every resolve costs one full relay round trip (tens of ms through the
     # remote tunnel vs ~0.1 ms on a local chip), so the bench amortizes it
     # over 32 frames; deployments on directly-attached TPUs keep the
     # reference's MaxPendingKeyframes=4 depth
     sess._pipeline_depth = 32
-    # resolve chunks in groups of 4: ONE device->host round trip per 64
-    # frames (a fetch through the remote relay costs ~50 ms regardless of
-    # size). Depth does NOT delay mapping: keyframe mapping runs in-scan on
-    # device at the triggering frame (pipeline._scan_frame_body) — tighter
-    # than the reference's MaxPendingKeyframes=4 backlog; resolution only
-    # surfaces results and runs BoW adds / loop-closure attempts
+    # resolve chunks in groups of 4: ONE device->host round trip per 128
+    # frames. Depth does NOT delay mapping: keyframe mapping runs in-scan
+    # on device at the triggering frame (pipeline._scan_frame_body);
+    # resolution only surfaces results, BoW adds and loop-closure attempts
     sess._chunk_pipeline_depth = 4
 
     CHUNK = 32
-    for i in range(WARMUP_FRAMES - 5):
+    # warmup: init + BoW retrain + first keyframes on the per-frame path
+    # (compiles every core incl. detect_loop at the first n_kf>=3 keyframe)
+    for i in range(WARMUP_FRAMES):
         sess.process_frame(bank[i], i * 0.033, i)
-    # compile the fused per-frame step and the chunked stream core before
-    # the timed window
-    for i in range(WARMUP_FRAMES - 5, WARMUP_FRAMES):
-        sess.process_frame_pipelined(bank[i], i * 0.033, i)
-    sess.flush()
+        if i in (0, 5, 15, 25, 39):
+            stage(f"warmup frame {i}")
+    # compile the chunked stream core + resolution path pre-snapshot
     sess.process_frame_stream(bank, ts_all, ids_all, start=WARMUP_FRAMES,
                               stop=WARMUP_FRAMES + CHUNK, chunk=CHUNK)
+    sess.flush_chunks()
+    stage("stream warm chunk done")
+    snap = sess.snapshot_state()
+    kf_snap = int(np.asarray(sess.map.kf_valid).sum())
 
     # timed: the chunked stream (CHUNK frames per compiled dispatch — the
     # per-frame work is identical to the per-frame path, INCLUDING in-scan
-    # keyframe mapping; see tests/test_pipeline.py::TestChunkedFrameLoop /
-    # TestChunkedExploring for the equivalence). Each timed pass streams a
-    # long continuous window and flushes at the end — every result is
-    # materialized inside the timed region, and the one unhidden drain
-    # (final group fetch, a full relay round trip) amortizes over the whole
-    # pass instead of every 3 chunks. Median over repeated passes rejects
-    # remote-relay stalls.
+    # keyframe mapping). Each pass restores the post-warmup snapshot and
+    # streams the SAME 288-frame exploring window: identical keyframe
+    # schedule every pass, one unhidden drain (final group fetch, a full
+    # relay round trip) amortized over the whole pass. Median over 5 passes
+    # rejects remote-relay stalls (CLAUDE.md: identical code has measured
+    # 45-290 fps purely from relay phase).
     i0 = WARMUP_FRAMES + CHUNK
     pass_len = ((N_FRAMES - i0) // CHUNK) * CHUNK
     tracked = timed = 0
-    pass_times = []
-    # 5 passes: each is ~0.5 s of device work, but the relay's latency
-    # jitter (CLAUDE.md: identical code has measured 45-290 fps purely from
-    # relay phase) makes a 3-sample median fragile; 5 samples reject two
-    # stalled passes instead of one.
+    pass_times, pass_diags = [], []
     for _ in range(5):
+        sess.restore_state(snap)
         t0 = time.perf_counter()
         res = sess.process_frame_stream(bank, ts_all, ids_all, start=i0,
                                         stop=i0 + pass_len, chunk=CHUNK)
         res += sess.flush_chunks()
         pass_times.append(time.perf_counter() - t0)
-        tracked += sum(r.state == TrackingState.TRACKING for r in res)
+        stage(f"pass done in {pass_times[-1]:.3f}s")
+        n_trk = sum(r.state == TrackingState.TRACKING for r in res)
+        n_kf_ins = sum(r.is_keyframe for r in res)
+        pass_diags.append((n_trk, n_kf_ins))
+        tracked += n_trk
         timed += pass_len
 
-    import sys
     print(f"pass times {['%.3f' % t for t in pass_times]} s for {pass_len} "
-          f"frames; keyframes in map {int(np.asarray(sess.map.kf_valid).sum())}",
+          f"frames; per-pass (tracked, kf inserted) {pass_diags}; "
+          f"keyframes at snapshot {kf_snap}, in map after last pass "
+          f"{int(np.asarray(sess.map.kf_valid).sum())}; "
+          f"loops_closed {sess.n_loops_closed}",
           file=sys.stderr)
     med = float(np.median(pass_times)) / pass_len
     fps = 1.0 / med if med > 0 else 0.0

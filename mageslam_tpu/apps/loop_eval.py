@@ -128,6 +128,11 @@ def run_orbit_eval(n_frames: int = 336, period: int = 288,
                       f"state={r.state.name} loops={sess.n_loops_closed} "
                       f"({time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
     if mode == "stream":
+        # drain in-flight chunks BEFORE the per-frame tail: the host
+        # fsk/fsr counters are only synced at group resolution, so tail
+        # frames dispatched now would read counters stale by up to
+        # depth×chunk frames (ADVICE r3)
+        sess.flush_chunks()
         for im, ts, fid in zip(buf_img, buf_ts, buf_fid):
             sess.process_frame(im, float(ts), int(fid))
         if verbose:

@@ -21,6 +21,13 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+# Bench/test hook: force the exact top_k candidate selection even when the
+# default backend is TPU. Read at TRACE time — flipping it only affects calls
+# that trigger a fresh trace (different shapes/devices); the bench's on-chip
+# parity check uses it to trace the exact variant for CPU-resident inputs
+# while the TPU executables keep the approx_max_k path.
+FORCE_EXACT_TOPK = False
+
 # Bresenham circle of radius 3 — (dx, dy), same order as OpenCV's makeOffsets
 # (OpenCVModified.cpp:896-901).
 CIRCLE16 = (
@@ -120,7 +127,7 @@ def extract_candidates(
     inb = (xs >= border) & (xs < w - border) & (ys >= border) & (ys < h - border)
     s = jnp.where(inb, score, -jnp.inf)
     flat = s.reshape(-1)
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and not FORCE_EXACT_TOPK:
         # XLA lowers top_k to a full bitonic sort of the H*W map — hundreds
         # of MB of HBM passes per frame (the single largest cost in the whole
         # pipeline). The TPU PartialReduce custom op selects k of n in O(n).

@@ -52,6 +52,15 @@ class LoopDetection(NamedTuple):
     reloc_assoc: jax.Array     # (N,) int32 — Ki keypoints → cluster map points
     scale: jax.Array           # () f32 — relocDepth / currDepth
     cluster_mask: jax.Array    # (K,) bool
+    # slot-identity captures for DEFERRED application (chunk/stream path):
+    # between detection dispatch and apply, up to depth×chunk frames of
+    # in-scan mapping may cull and RE-USE keyframe/point slots. A reused
+    # slot still passes plain validity masks, so close_loop re-checks these
+    # captures — keyframes by source frame id, points by creation epoch —
+    # and drops any stale cluster member / merge pair. None (default) skips
+    # the guards (synchronous application, or hand-built test detections).
+    kf_frame_id: jax.Array | None = None   # (K,) int32 at dispatch
+    mp_order: jax.Array | None = None      # (P,) int32 at dispatch
 
 
 def _connected_components(adj: jax.Array, active: jax.Array, iters: int = 16) -> jax.Array:
@@ -147,6 +156,8 @@ def detect_loop(
     return LoopDetection(
         detected=detected, reloc_pose=r.pose, reloc_assoc=r.assoc,
         scale=scale, cluster_mask=cluster,
+        kf_frame_id=map_state.kf_frame_id,
+        mp_order=map_state.mp_created_order,
     )
 
 
@@ -345,6 +356,15 @@ def close_loop(
     cluster (the loop region is the fixed datum, ORB-SLAM CorrectLoop
     semantics); their dMin/dMax viewing ranges scale by s."""
     K, P, N = map_state.capacity
+    # identity-unchanged guards for deferred application (see LoopDetection):
+    # a cluster keyframe slot culled+reused since dispatch must not serve as
+    # the fixed datum, and a point slot reused must not merge.
+    cluster_mask = detection.cluster_mask
+    if detection.kf_frame_id is not None:
+        cluster_mask = cluster_mask & (
+            map_state.kf_frame_id == detection.kf_frame_id)
+    mp_same = (jnp.ones((P,), bool) if detection.mp_order is None
+               else map_state.mp_created_order == detection.mp_order)
     pre_pose = map_state.kf_pose
     covis = covisibility_matrix(map_state)
     move = ((covis[ki] >= covis_theta) | (jnp.arange(K) == ki)) & map_state.kf_valid
@@ -370,7 +390,7 @@ def close_loop(
     # the same similarity; loop-region points are the fixed datum
     member = map_state.kf_member                           # (K, P) bool
     seen_by_moved = jnp.any(member & move[:, None], axis=0)
-    seen_by_cluster = jnp.any(member & detection.cluster_mask[:, None], axis=0)
+    seen_by_cluster = jnp.any(member & cluster_mask[:, None], axis=0)
     move_pt = map_state.mp_valid & seen_by_moved & jnp.logical_not(seen_by_cluster)
     cam_k = s * (map_state.mp_pos @ R_k.T + t_k)           # (P, 3)
     pos_new = (cam_k - t_r) @ R_r                          # rows ⋅ R_r = R_r^T x
@@ -389,14 +409,15 @@ def close_loop(
     src = jnp.where(both, frame.assoc, 0)
     dst = jnp.where(both, detection.reloc_assoc, 0)
     different = (both & (src != dst)
-                 & map_state.mp_valid[src] & map_state.mp_valid[dst])
+                 & map_state.mp_valid[src] & map_state.mp_valid[dst]
+                 & mp_same[src] & mp_same[dst])
     map_state = merge_map_points(map_state, src, dst, different)
 
     # distribute the remaining drift over the whole trajectory (Sim(3)
     # essential graph) before the caller's global BA polishes
     if essential_graph_iters > 0:
         map_state = essential_graph_refine(
-            map_state, pre_pose, move, detection.cluster_mask,
+            map_state, pre_pose, move, cluster_mask,
             detection.scale, ki, pre_covis=covis,
             iterations=essential_graph_iters,
             covis_edge_threshold=covis_theta,

@@ -298,6 +298,64 @@ class TestLoopClosure:
         assert pt_err_post.max() < max(pt_err_pre.max() / 4, 0.05), (
             pt_err_pre.max(), pt_err_post.max())
 
+    def test_stale_slot_identity_guards(self, rng):
+        """Deferred application (chunk/stream path) can trail detection by
+        up to depth×chunk frames of in-scan mapping; a keyframe/point slot
+        culled and RE-USED in that window still passes plain validity masks.
+        close_loop must drop stale-identity cluster members and merge pairs
+        (LoopDetection.kf_frame_id / mp_order captures — ADVICE r3)."""
+        from mageslam_tpu.worldmap.map_state import refresh_membership
+
+        drift = np.array([0.4, 0.1, 0.0], np.float32)
+        m, bow, frames, pts, descs, n_pts = build_drifted_map(rng, drift)
+        # make A-point 7 ALSO observed by moved keyframe 5 (spare keypoint
+        # slot): normally datum-protected (seen by the cluster) → unmoved
+        m = m._replace(
+            kf_assoc=m.kf_assoc.at[5, n_pts + 1].set(7),
+            kf_kp_valid=m.kf_kp_valid.at[5, n_pts + 1].set(True))
+        m = refresh_membership(m)
+        xy, d, valid, assoc, pose = frames[5]
+        frame = TrackedFrame(
+            pose=pose, cam=CAM, kp_xy=xy,
+            kp_octave=jnp.zeros((N_CAP,), jnp.int32), desc=d, kp_valid=valid,
+            assoc=assoc, timestamp=np.float32(0.5), frame_id=np.int32(12),
+        )
+        det = detect_loop(
+            m, bow, frame, jnp.int32(5), jax.random.PRNGKey(3),
+            min_keyframes=5, min_cluster_size=2,
+        )
+        assert bool(det.detected)
+        assert det.kf_frame_id is not None and det.mp_order is not None
+
+        # identities unchanged → guards are no-ops: point 7 stays (datum),
+        # duplicates merge
+        m_live = close_loop(m, det, frame, jnp.int32(5))
+        np.testing.assert_allclose(np.array(m_live.mp_pos[7]), pts[7],
+                                   atol=1e-5)
+        assoc5 = np.array(m_live.kf_assoc[5])
+        assert ((assoc5 >= 0) & (assoc5 < n_pts)).sum() > n_pts * 0.8
+
+        # simulate in-flight slot reuse between dispatch and apply:
+        # merge dst (A-point 2) and merge src (B-point n_pts+3) re-created
+        m_stale = m._replace(
+            mp_created_order=m.mp_created_order.at[2].set(77)
+                                               .at[n_pts + 3].set(78))
+        m2 = close_loop(m_stale, det, frame, jnp.int32(5))
+        assoc5 = np.array(m2.kf_assoc[5])
+        assert assoc5[2] == n_pts + 2, "stale dst slot must not merge"
+        assert assoc5[3] == n_pts + 3, "stale src slot must not merge"
+        merged = (assoc5 >= 0) & (assoc5 < n_pts)
+        assert merged.sum() > n_pts * 0.7      # the rest still merges
+
+        # all cluster keyframe slots re-used → datum protection lapses for
+        # their points: A-point 7 (also seen by the moved set) now moves
+        m_stale2 = m._replace(
+            kf_frame_id=m.kf_frame_id.at[0].set(990).at[1].set(991)
+                                     .at[2].set(992))
+        m3 = close_loop(m_stale2, det, frame, jnp.int32(5))
+        moved_d = np.linalg.norm(np.array(m3.mp_pos[7]) - pts[7])
+        assert moved_d > 0.05, moved_d
+
     def test_no_loop_without_candidates(self, rng):
         m, bow, frames, pts, descs, n_pts = build_drifted_map(rng)
         # Ki covisible with everything similar → query for region-A keyframe 0

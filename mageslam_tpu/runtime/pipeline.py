@@ -2012,13 +2012,29 @@ class SlamSession:
         b = self.settings.Budgets
         if bas is None:
             bas = self.settings.BundleAdjustSettings
-        window = build_local_ba_window(
-            self.map, jnp.int32(self.last_kf_slot),
-            max_cams=b.MaxKeyframes, max_points=b.MaxMapPoints,
-            max_obs=b.MaxGlobalBaObservations,
-            global_window=True,
-        )
-        st = BAState.from_problem(window.problem)
+        # window assembly and result write-back are each ONE compiled
+        # dispatch (eager they are dozens of per-op round trips through a
+        # remote attachment — the loop-closure apply path's latency is
+        # dominated by exactly such host↔device chatter)
+        if getattr(self, "_global_window_core", None) is None:
+            from functools import partial
+
+            def _build(map_state, ki):
+                w = build_local_ba_window(
+                    map_state, ki,
+                    max_cams=b.MaxKeyframes, max_points=b.MaxMapPoints,
+                    max_obs=b.MaxGlobalBaObservations,
+                    global_window=True,
+                )
+                return w, BAState.from_problem(w.problem)
+
+            self._global_window_core = jax.jit(_build)
+            self._global_apply_core = jax.jit(partial(
+                apply_ba_results,
+                num_levels=self.fes.NumLevels,
+                scale_factor=self.fes.ScaleFactor))
+        window, st = self._global_window_core(
+            self.map, np.int32(self.last_kf_slot))
         st, mse, _, outliers = iterate_bundle_adjust(
             window.problem, st, huber, max_outlier_error,
             huber_width_scale=bas.HuberWidthScale,
@@ -2029,10 +2045,8 @@ class SlamSession:
             min_steps=bas.MinSteps,
             step_fn=self._global_ba_step_fn(),
         )
-        self.map = apply_ba_results(
-            self.map, window, st.poses, st.points, outliers,
-            self.fes.NumLevels, self.fes.ScaleFactor,
-        )
+        self.map = self._global_apply_core(
+            self.map, window, st.poses, st.points, outliers)
         return float(mse)
 
     def _get_kf_resolve_core(self):

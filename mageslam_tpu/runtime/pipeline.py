@@ -862,6 +862,7 @@ class SlamSession:
 
             def heavy(_):
                 P_cap = map_state.mp_valid.shape[0]
+                K_cap = map_state.kf_valid.shape[0]
                 seen = jnp.zeros((P_cap,), bool).at[
                     jnp.where(a_ok, frame.assoc, 0)
                 ].max(a_ok)
@@ -874,6 +875,26 @@ class SlamSession:
                                  preferred_element_type=jnp.float32
                                  ).astype(jnp.int32)
                 sizes = jnp.sum(member, axis=1).astype(jnp.int32)
+                # connectedKeyframes = K1 ∪ K2 (ThreadSafeMap::
+                # GetConnectedMapPoints, ThreadSafeMap.cpp:122-180): K1 =
+                # keyframes sharing ≥ CovisMinThreshold of this frame's
+                # points, K2 = their covisibility-connected keyframes.
+                # MovedEnough tests against THIS local neighborhood only —
+                # testing against every valid keyframe (the pre-r4 form)
+                # wrongly suppresses keyframe insertion on a drifted revisit
+                # approach, which starves loop DETECTION of keyframes right
+                # where the loop must fire. K2 derives from the top-8 K1
+                # seeds (bounded-budget form of the reference's K1 walk).
+                theta_c = self.settings.CovisibilitySettings.CovisMinThreshold
+                k1 = (shared >= theta_c) & map_state.kf_valid
+                k1_rank = jnp.where(k1, shared, -1)
+                _, k1_seed = jax.lax.top_k(k1_rank, min(8, K_cap))
+                seed_ok = k1[k1_seed]
+                covis_sub = jnp.dot(member, member[k1_seed].T,
+                                    preferred_element_type=jnp.float32)
+                k2 = jnp.any((covis_sub >= theta_c) & seed_ok[None, :],
+                             axis=1) & map_state.kf_valid
+                conn = k1 | k2
                 safe = jnp.where(a_ok, frame.assoc, 0)
                 depths = jnp.where(
                     a_ok, frame.pose.transform(map_state.mp_pos[safe])[:, 2], jnp.inf
@@ -888,7 +909,7 @@ class SlamSession:
                         min_point_distance=jnp.where(
                             jnp.isfinite(min_depth), min_depth, 0.0),
                     ),
-                    map_state.keyframe_centers(), map_state.kf_valid, shared, sizes,
+                    map_state.keyframe_centers(), conn, shared, sizes,
                     width, height,
                     min_frame_count=ks.KeyframeDecisionMinFrameCount,
                     min_frame_count_reloc=ks.KeyframeDecisionMinFrameCountReloc,
@@ -1829,9 +1850,13 @@ class SlamSession:
                 max_keyframe_angle_degrees=nps.MaxKeyframeAngleDegrees,
             )
             # stats refresh bounded to the created slots (≤ MaxFeatures) —
-            # the full-bank refresh was ~1/3 of the measured mapping cost
+            # the full-bank refresh was ~1/3 of the measured mapping cost.
+            # max_obs_kf=8: a just-created point has at most 2 (creation) +
+            # MaxFramesForNewPointsCreation (re-association) observers, so
+            # the default 16-observer medoid budget is pure padding here
             map_state = refresh_point_stats_slots(
                 npr.state, npr.slots, fes.NumLevels, fes.ScaleFactor,
+                max_obs_kf=8,
             )
 
             # local BA
@@ -1847,6 +1872,13 @@ class SlamSession:
                 theta_max_steps=cs.MaxSteps,
             )
             st = BAState.from_problem(window.problem)
+            # floor of 4 batched-LM iterations per keyframe (golden NumSteps
+            # = 1 assumes g2o's internal lambda-retry loop). A floor of 2
+            # passes the 80-frame photoreal ATE test but loses the 360°
+            # orbit at ~103° (tracked 81/168 vs 163/168 — drift compounds
+            # around the ring until guided matching starves); the ~5 ms of
+            # extra Schur latency per keyframe event is the price of
+            # surviving long trajectories.
             widths = bas.HuberWidth * (
                 bas.HuberWidthScale ** jnp.arange(
                     max(bas.NumSteps, 4), dtype=jnp.float32)
@@ -2077,7 +2109,14 @@ class SlamSession:
             bow = bow._replace(kf_has=bow.kf_has & map_state.kf_valid)
             if not lc.EnableLoopClosure:
                 return bow, None, key
-            key, sub = jax.random.split(key)
+            # consume a key ONLY when detection is live (n_kf >= MinKeyframe)
+            # — the round-3 host gate skipped the split entirely below the
+            # threshold, and every downstream consumer (BoW retrain at
+            # TrainingFrames, reloc RANSAC) sees a shifted stream otherwise
+            n_kf = jnp.sum(map_state.kf_valid.astype(jnp.int32))
+            live = n_kf >= lc.MinKeyframe
+            key2, sub = jax.random.split(key)
+            key = jnp.where(live, key2, key)
             det = detect_loop(
                 map_state, bow, frame, ki, sub,
                 covis_loop_threshold=cs.CovisLoopThreshold,

@@ -257,5 +257,15 @@ def apply_ba_results(
         jnp.where(pt_ok & (n_obs_s < 2), window.pt_slot, P_cap)
     ].max(True, mode="drop")
     state = remove_map_points(state, state.mp_valid & dead)
+    # full medoid/statistics refresh over every window point. A round-4
+    # experiment split this into geometry-only for moved points + full
+    # medoid only for association changes (the reference's SetPosition vs
+    # AddAssociation distinction, MapPoint.cpp:44-77,170-177) and saved
+    # ~5 ms per mapping event on chip — but stale representative
+    # descriptors starved guided matching on long trajectories (360° orbit:
+    # tracked 216/336 with the split vs 328/336 without; the split's dMin/
+    # dMax freeze on any point whose stored observer slot was culled).
+    # Overlapping BA windows re-running the full medoid are what keep
+    # representatives fresh map-wide.
     return refresh_point_stats_slots(state, window.pt_slot, num_levels,
                                      scale_factor)

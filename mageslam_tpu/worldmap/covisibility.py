@@ -25,8 +25,14 @@ def covisibility_matrix(state: MapState, member: jax.Array | None = None) -> jax
     """(K, K) int32 shared-map-point counts (CovisibilityGraph edge weights).
     Diagonal is zeroed; invalid keyframes have zero rows/cols."""
     m = member if member is not None else membership_matrix(state)
-    mf = m.astype(jnp.float32)
-    counts = jnp.dot(mf, mf.T, preferred_element_type=jnp.float32).astype(jnp.int32)
+    # int8 operands with an int32 accumulator: exact counts (≤ N < 2^31),
+    # rides the MXU's int8 path and converts 4× less HBM traffic than the
+    # old f32 form (the matmul runs 3× per mapping event — measured 1.25 ms
+    # each as f32 at (256, 8192))
+    mi = m.astype(jnp.int8)
+    counts = jax.lax.dot_general(
+        mi, mi, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
     K = counts.shape[0]
     counts = counts * (1 - jnp.eye(K, dtype=jnp.int32))
     valid = state.kf_valid.astype(jnp.int32)

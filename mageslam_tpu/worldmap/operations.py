@@ -291,17 +291,24 @@ def cull_local_keyframes(
         victim = jnp.argmax(order_score).astype(jnp.int32)
         return victim, jnp.any(redundant)
 
+    # do-while form: each iteration culls the carried victim and evaluates
+    # find_victim ONCE for the next round (cond reads the carry). The naive
+    # while_loop evaluated find_victim in BOTH cond and body — ~2 ms of
+    # (K, N) histogram/gather work per eval on chip, doubled per cull.
+    victim0, any0 = find_victim(state)
+
     def cond(carry):
-        st, culled, n = carry
-        _, any_v = find_victim(st)
+        st, culled, n, victim, any_v = carry
         return any_v & (n < max_culls)
 
     def body(carry):
-        st, culled, n = carry
-        victim, any_v = find_victim(st)
+        st, culled, n, victim, any_v = carry
         cull_mask = (jnp.arange(K) == victim) & any_v
-        return remove_keyframes(st, cull_mask), culled | cull_mask, n + 1
+        st = remove_keyframes(st, cull_mask)
+        v, a = find_victim(st)
+        return st, culled | cull_mask, n + 1, v, a
 
-    state, culled, _ = jax.lax.while_loop(
-        cond, body, (state, jnp.zeros((K,), bool), jnp.int32(0)))
+    state, culled, _, _, _ = jax.lax.while_loop(
+        cond, body,
+        (state, jnp.zeros((K,), bool), jnp.int32(0), victim0, any0))
     return state, culled

@@ -164,9 +164,18 @@ def main() -> None:
     p.add_argument("--trajectory", default="orbit",
                    choices=["orbit", "circuit", "sweep"])
     p.add_argument("--mode", default="sync", choices=["sync", "stream"])
+    p.add_argument("--settings", default="profile",
+                   choices=["profile", "golden"],
+                   help="profile = golden + the documented loop profile "
+                        "(loop_profile_settings); golden = unmodified "
+                        "console golden point (console.cpp:95-288 parity)")
     args = p.parse_args()
+    s = None
+    if args.settings == "golden":
+        from ..config import golden_path_settings
+        s = golden_path_settings()
     r = run_orbit_eval(args.frames, args.period, trajectory=args.trajectory,
-                       mode=args.mode)
+                       mode=args.mode, settings=s)
     print(f"tracked {r['tracked']}/{r['n_frames']}  "
           f"keyframes {r['keyframes']}  loops_closed {r['loops_closed']}  "
           f"ATE RMSE {r['ate_rmse']:.4f} m over {r['n_poses']} poses  "

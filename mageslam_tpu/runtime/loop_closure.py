@@ -123,38 +123,61 @@ def detect_loop(
     cand = cand_rank[:max_candidates].astype(jnp.int32)
     cand_ok = cluster[cand]
 
-    r = relocalize(frame, map_state, cand, cand_ok, key, **(reloc_kwargs or {}))
-
-    # scale: shared keypoint indices associated in both views (:297-312)
-    orig_assoc = frame.assoc
-    both = (orig_assoc >= 0) & (r.assoc >= 0) & frame.kp_valid
-    o_safe = jnp.where(both, orig_assoc, 0)
-    r_safe = jnp.where(both, r.assoc, 0)
-    curr_c = frame.pose.center()
-    reloc_c = r.pose.center()
-    curr_depth = jnp.sum(jnp.where(
-        both, jnp.linalg.norm(map_state.mp_pos[o_safe] - curr_c[None], axis=-1), 0.0))
-    reloc_depth = jnp.sum(jnp.where(
-        both, jnp.linalg.norm(map_state.mp_pos[r_safe] - reloc_c[None], axis=-1), 0.0))
-    # sanity gates beyond the reference's raw ratio: enough shared keypoints
-    # for the sums to be meaningful, and a drift band no honest monocular
-    # session exits (a ratio far outside it means a degenerate/false reloc —
-    # applying it as a similarity would shred the map)
-    n_shared = jnp.sum(both.astype(jnp.int32))
-    scale_ok = (curr_depth > 0) & (reloc_depth > 0) & (n_shared >= 8)
-    scale = jnp.where(scale_ok, reloc_depth / jnp.maximum(curr_depth, 1e-12), 1.0)
-    scale_ok &= (scale > 0.25) & (scale < 4.0)
-    scale = jnp.where(scale_ok, scale, 1.0)
-
+    # relocalization + scale run ONLY when a qualifying cluster exists
+    # (lax.cond) — the reference likewise returns from DetectLoop before
+    # TryEstimatePoseFromCandidates when FindLoopCandidates comes back empty
+    # (LoopClosureWorker.cpp:108-161). While exploring, no keyframe ever has
+    # a non-covisible similar cluster, so every per-keyframe detection paid
+    # the full RANSAC/guided-rematch cascade for a result already known to
+    # be `detected = False`; the cheap branch skips it on-device.
     n_kf = jnp.sum(map_state.kf_valid.astype(jnp.int32))
-    detected = (
-        (n_kf >= min_keyframes)
-        & (cluster_size >= min_cluster_size)
-        & r.succeeded
-        & scale_ok
-    )
+    qualifies = (n_kf >= min_keyframes) & (cluster_size >= min_cluster_size)
+
+    def run_reloc(_):
+        r = relocalize(frame, map_state, cand, cand_ok, key,
+                       **(reloc_kwargs or {}))
+
+        # scale: shared keypoint indices associated in both views (:297-312)
+        orig_assoc = frame.assoc
+        both = (orig_assoc >= 0) & (r.assoc >= 0) & frame.kp_valid
+        o_safe = jnp.where(both, orig_assoc, 0)
+        r_safe = jnp.where(both, r.assoc, 0)
+        curr_c = frame.pose.center()
+        reloc_c = r.pose.center()
+        curr_depth = jnp.sum(jnp.where(
+            both,
+            jnp.linalg.norm(map_state.mp_pos[o_safe] - curr_c[None], axis=-1),
+            0.0))
+        reloc_depth = jnp.sum(jnp.where(
+            both,
+            jnp.linalg.norm(map_state.mp_pos[r_safe] - reloc_c[None], axis=-1),
+            0.0))
+        # sanity gates beyond the reference's raw ratio: enough shared
+        # keypoints for the sums to be meaningful, and a drift band no honest
+        # monocular session exits (a ratio far outside it means a
+        # degenerate/false reloc — applying it as a similarity would shred
+        # the map)
+        n_shared = jnp.sum(both.astype(jnp.int32))
+        scale_ok = (curr_depth > 0) & (reloc_depth > 0) & (n_shared >= 8)
+        scale = jnp.where(scale_ok,
+                          reloc_depth / jnp.maximum(curr_depth, 1e-12), 1.0)
+        scale_ok &= (scale > 0.25) & (scale < 4.0)
+        scale = jnp.where(scale_ok, scale, 1.0)
+        return r.pose, r.assoc, r.succeeded & scale_ok, scale
+
+    def skip_reloc(_):
+        N_feat = frame.assoc.shape[0]
+        return (Pose(jnp.eye(3, dtype=jnp.float32),
+                     jnp.zeros((3,), jnp.float32)),
+                jnp.full((N_feat,), -1, jnp.int32),
+                jnp.asarray(False), jnp.float32(1.0))
+
+    reloc_pose, reloc_assoc, reloc_ok, scale = jax.lax.cond(
+        qualifies, run_reloc, skip_reloc, operand=None)
+
+    detected = qualifies & reloc_ok
     return LoopDetection(
-        detected=detected, reloc_pose=r.pose, reloc_assoc=r.assoc,
+        detected=detected, reloc_pose=reloc_pose, reloc_assoc=reloc_assoc,
         scale=scale, cluster_mask=cluster,
         kf_frame_id=map_state.kf_frame_id,
         mp_order=map_state.mp_created_order,

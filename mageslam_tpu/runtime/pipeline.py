@@ -1925,6 +1925,7 @@ class SlamSession:
 
         self._mapping_body = mapping_body
         self._mapping_fn = mapping          # unjitted: embedded in scan cores
+        self._cheap_loop_closure = cheap_loop_closure  # for tools/prof_mapping
         return jax.jit(mapping)
 
     # -- mapping offload (pipeline parallelism over devices) ------------- #

@@ -41,3 +41,21 @@ def test_orbit_closes_loop_stream_path():
     assert r["tracked"] >= 0.85 * r["n_frames"], r
     assert r["loops_closed"] >= 1, r
     assert r["ate_rmse"] < 0.2, r
+
+
+def test_orbit_endurance_two_revolutions_stream():
+    """Multi-revolution endurance through the stream path (VERDICT r3 #4,
+    reference Runtime.cpp:552-573's sustained loop schedule): 2.33 orbit
+    revolutions at bench pipelining depth — repeated detections on a bank
+    with a full revolution of culling churn between them. Both revisits
+    must close (one per revolution), tracking must survive, and the
+    end-state ATE must match the single-revolution run (measured
+    2026-08-19: 651/672 tracked, 2 closures, ATE 0.1032 m vs 0.1036 m
+    sync single-revolution — no quality decay at depth; EVAL.md
+    'Multi-revolution endurance')."""
+    from mageslam_tpu.apps.loop_eval import run_orbit_eval
+
+    r = run_orbit_eval(n_frames=672, period=288, verbose=False, mode="stream")
+    assert r["tracked"] >= 0.9 * r["n_frames"], r
+    assert r["loops_closed"] >= 2, r
+    assert r["ate_rmse"] < 0.15, r

@@ -50,6 +50,7 @@ from ..tracking.track_local_map import track_local_map
 from ..tracking.bounding_depths import calculate_bounding_plane_depths
 from ..worldmap.ba_window import apply_ba_results, build_local_ba_window
 from ..worldmap.covisibility import covisibility_matrix
+from ..worldmap.member_index import build_fidx
 from ..worldmap.map_state import (MapState, empty_map, refresh_membership,
                                  refresh_point_stats,
                                  refresh_point_stats_slots)
@@ -1812,15 +1813,26 @@ class SlamSession:
             ok = ki >= 0
             ki_s = jnp.where(ok, ki, 0)
 
+            # ONE feature-index membership build for the whole schedule
+            # (worldmap/member_index.py): every downstream stage previously
+            # re-derived membership/feature tables from the association
+            # matrix with its own 131k-update scatter — ~9 scatters ×
+            # ~1.3 ms on chip, more than a third of the measured 35 ms
+            # mapping event (tools/prof_mapping.py, round 4). The index is
+            # updated incrementally at each mutation and becomes the
+            # kf_member cache at the end.
+            fidx = build_fidx(map_state)
+
             # recent map point culling (found/predicted 25% rule)
             fp_ratio = (map_state.mp_found.astype(jnp.float32) + 1.0) / (
                 map_state.mp_predicted.astype(jnp.float32) + 1.0
             )
             failed = map_state.mp_valid & (fp_ratio < ts.RecentMapPointPctSuccess)
             n_before_cull = jnp.sum(map_state.mp_valid.astype(jnp.int32))
-            map_state = cull_recent_map_points(
+            map_state, fidx = cull_recent_map_points(
                 map_state, ki_s, failed,
                 min_keyframes_for_culling=ms.MinNumKeyframesForMapPointCulling,
+                fidx=fidx,
             )
             if _DEBUG_MAPPING:
                 jax.debug.print(
@@ -1829,7 +1841,7 @@ class SlamSession:
                     f=jnp.sum(failed.astype(jnp.int32)),
                     b=jnp.sum(map_state.mp_valid.astype(jnp.int32)))
 
-            covis = covisibility_matrix(map_state)
+            covis = covisibility_matrix(map_state, fidx >= 0)
             npr = create_new_map_points(
                 map_state, ki_s, covis, map_scale,
                 num_levels=fes.NumLevels, pyramid_scale=fes.ScaleFactor,
@@ -1848,7 +1860,9 @@ class SlamSession:
                 min_hamming_diff=nps.InitialMatcherSettings.MinHammingDifference,
                 search_radius=nps.NewMapPointsSearchRadius,
                 max_keyframe_angle_degrees=nps.MaxKeyframeAngleDegrees,
+                fidx=fidx,
             )
+            fidx = npr.fidx
             # stats refresh bounded to the created slots (≤ MaxFeatures) —
             # the full-bank refresh was ~1/3 of the measured mapping cost.
             # max_obs_kf=8: a just-created point has at most 2 (creation) +
@@ -1856,7 +1870,7 @@ class SlamSession:
             # the default 16-observer medoid budget is pure padding here
             map_state = refresh_point_stats_slots(
                 npr.state, npr.slots, fes.NumLevels, fes.ScaleFactor,
-                max_obs_kf=8,
+                max_obs_kf=8, fidx=fidx,
             )
 
             # local BA
@@ -1870,6 +1884,7 @@ class SlamSession:
                 theta_min=cs.CovisMinThreshold,
                 theta_step=cs.CovisBaStepThreshold,
                 theta_max_steps=cs.MaxSteps,
+                member=fidx >= 0,
             )
             st = BAState.from_problem(window.problem)
             # floor of 4 batched-LM iterations per keyframe (golden NumSteps
@@ -1886,9 +1901,9 @@ class SlamSession:
             st, mse, outliers = step_bundle_adjust(
                 window.problem, st, widths, jnp.float32(bas.MaxOutlierError ** 2),
             )
-            map_state = apply_ba_results(
+            map_state, fidx = apply_ba_results(
                 map_state, window, st.poses, st.points, outliers,
-                fes.NumLevels, fes.ScaleFactor,
+                fes.NumLevels, fes.ScaleFactor, fidx=fidx,
             )
             if _DEBUG_MAPPING:
                 jax.debug.print(
@@ -1898,15 +1913,19 @@ class SlamSession:
                     b=jnp.sum(map_state.mp_valid.astype(jnp.int32)))
 
             # keyframe culling (no-op when nothing culled)
-            covis2 = covisibility_matrix(map_state)
+            covis2 = covisibility_matrix(map_state, fidx >= 0)
             old_poses = map_state.kf_pose
-            map_state, culled = cull_local_keyframes(
+            map_state, culled, fidx = cull_local_keyframes(
                 map_state, ki_s, covis2, fes.NumLevels,
                 covis_theta=cs.CovisMinThreshold,
                 max_tracking_point_overlap=ks.MappingMaxTrackingPointOverlap,
                 min_keyframe_covis_count=ks.MinimumKeyframeCovisibilityCount,
+                fidx=fidx,
             )
-            map_state = refresh_membership(map_state)
+            # the maintained index IS the membership cache (member_of);
+            # the association-derived rebuild (refresh_membership) and this
+            # are asserted equal by tests/test_worldmap.py's fidx parity
+            map_state = map_state._replace(kf_member=fidx >= 0)
 
             # keyframe bank full -> whole mapping step is a no-op
             pick = lambda new, old: jax.tree.map(

@@ -75,13 +75,17 @@ def build_local_ba_window(
     theta_step: int = 15,
     theta_max_steps: int = 1,
     global_window: bool = False,
+    member: jax.Array | None = None,
 ) -> BAWindow:
     """Assemble the covisibility-bounded local BA problem around keyframe `ki`
     (or the whole map when `global_window`). Keyframes outside the covisible
     set (but observing its points) are included as fixed anchors, exactly like
-    the reference (ThreadSafeMap.cpp:936-941 SetFixed)."""
+    the reference (ThreadSafeMap.cpp:936-941 SetFixed). Pass a current
+    `member` (K, P) to skip the internal membership rebuild (the mapping core
+    threads one, worldmap/member_index.py)."""
     K, P, N = state.capacity
-    member = membership_matrix(state)                       # (K, P)
+    if member is None:
+        member = membership_matrix(state)                   # (K, P)
     covis = covisibility_matrix(state, member)
 
     def obs_count_at(theta):
@@ -208,11 +212,16 @@ def apply_ba_results(
     outlier_obs: jax.Array,    # (Ob,) bool — observations removed by the BA
     num_levels: int,
     scale_factor: float,
-) -> MapState:
+    fidx: jax.Array | None = None,
+):
     """ThreadSafeMap::AdjustPosesAndMapPoints (ThreadSafeMap.cpp:973-1046):
     write optimized poses/points back, unassociate outlier observations,
     bump refinement counts, refresh the affected points' statistics, and
-    remove points left with <2 observers."""
+    remove points left with <2 observers.
+
+    With `fidx` (threaded feature-index membership) the observer recount and
+    the statistics refresh read the index instead of re-scattering from the
+    association matrix, and the updated index is returned: (state, fidx)."""
     from .operations import remove_map_points
 
     K = state.kf_valid.shape[0]
@@ -239,17 +248,36 @@ def apply_ba_results(
     assoc = state.kf_assoc.at[k_o, f_o].set(-1, mode="drop")
     state = state._replace(kf_assoc=assoc)
 
+    K_cap, P_cap, N_cap = state.capacity
+    S = window.pt_slot.shape[0]
+    if fidx is not None:
+        from .member_index import fidx_remove_obs, fidx_remove_points
+
+        # mirror the outlier unassociations (each observation's global point
+        # slot comes from the window's slot map; a keyframe observes a point
+        # through at most one feature — member_index.py invariant)
+        p_o = jnp.where(pt_ok, window.pt_slot, 0)[window.problem.obs_pt]
+        fidx = fidx_remove_obs(fidx, window.obs_kf, p_o, out_ok)
+        n_obs_p = jnp.sum((fidx >= 0).astype(jnp.int32), axis=0)   # (P,)
+        dead = jnp.zeros_like(state.mp_valid).at[
+            jnp.where(pt_ok & (n_obs_p[pt_safe] < 2), window.pt_slot, P_cap)
+        ].max(True, mode="drop")
+        dead = state.mp_valid & dead
+        state = remove_map_points(state, dead)
+        fidx = fidx_remove_points(fidx, dead)
+        state = refresh_point_stats_slots(state, window.pt_slot, num_levels,
+                                          scale_factor, fidx=fidx)
+        return state, fidx
+
     # points with <2 observers after outlier removal are dead. Only window
     # points can have lost observations, so count observers for the (S,)
     # window slots instead of building the full (K, P) membership (measured
     # 12.4 ms → ~3 ms for the whole write-back on the real chip).
-    K_cap, P_cap, N_cap = state.capacity
     s_of_p = jnp.full((P_cap,), -1, jnp.int32).at[
         jnp.where(pt_ok, window.pt_slot, P_cap)
     ].set(jnp.arange(window.pt_slot.shape[0], dtype=jnp.int32), mode="drop")
     valid_a = (assoc >= 0) & state.kf_kp_valid & state.kf_valid[:, None]
     s_tgt = jnp.where(valid_a, s_of_p[jnp.where(valid_a, assoc, 0)], -1)
-    S = window.pt_slot.shape[0]
     n_obs_s = jnp.zeros((S,), jnp.int32).at[
         jnp.where(s_tgt >= 0, s_tgt, S)
     ].add((s_tgt >= 0).astype(jnp.int32), mode="drop")

@@ -268,7 +268,8 @@ def refresh_point_stats(state: MapState, touched: jax.Array, num_levels: int,
 
 def refresh_point_stats_slots(state: MapState, slots: jax.Array,
                               num_levels: int, scale_factor: float,
-                              max_obs_kf: int = 16) -> MapState:
+                              max_obs_kf: int = 16,
+                              fidx: jax.Array | None = None) -> MapState:
     """`refresh_point_stats` restricted to an explicit (S,) int32 slot list
     (-1 padded): identical math, but every intermediate is (K, S) / (S, ...)
     instead of (K, P) / (P, ...).
@@ -290,26 +291,35 @@ def refresh_point_stats_slots(state: MapState, slots: jax.Array,
     ok_s = (slots >= 0) & (slots < P)
     slot_safe = jnp.where(ok_s, slots, 0)
 
-    # inverse map p → s (out-of-bounds scatter drops the padding)
-    s_of_p = jnp.full((P,), -1, jnp.int32).at[
-        jnp.where(ok_s, slots, P)
-    ].set(jnp.arange(S, dtype=jnp.int32), mode="drop")
+    if fidx is not None:
+        # threaded feature-index membership (worldmap/member_index.py):
+        # the (K, S) views are column GATHERS instead of two 131k-update
+        # scatters (~2.6 ms of the mapping core on chip)
+        feat_s = jnp.take(fidx, slot_safe, axis=1)             # (K, S)
+        feat_s = jnp.where(ok_s[None, :], feat_s, -1)
+        member_s = feat_s >= 0
+    else:
+        # inverse map p → s (out-of-bounds scatter drops the padding)
+        s_of_p = jnp.full((P,), -1, jnp.int32).at[
+            jnp.where(ok_s, slots, P)
+        ].set(jnp.arange(S, dtype=jnp.int32), mode="drop")
 
-    # (K, S) membership + observing feature index, derived from associations
-    assoc = state.kf_assoc                                     # (K, N)
-    valid = (assoc >= 0) & state.kf_kp_valid & state.kf_valid[:, None]
-    a_safe = jnp.where(valid, assoc, 0)
-    s_tgt = jnp.where(valid, s_of_p[a_safe], -1)               # (K, N)
-    rows = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[:, None], (K, N))
-    cols = jnp.where(s_tgt >= 0, s_tgt, S)
-    member_s = jnp.zeros((K, S), bool).at[rows, cols].max(s_tgt >= 0,
-                                                          mode="drop")
-    # min-scatter → FIRST observing feature per (keyframe, point), matching
-    # the full version's argmax-of-first-hit when duplicates exist
-    feat_s = jnp.full((K, S), N, jnp.int32).at[rows, cols].min(
-        jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (K, N)),
-        mode="drop")
-    feat_s = jnp.where(feat_s >= N, -1, feat_s)
+        # (K, S) membership + observing feature index, from associations
+        assoc = state.kf_assoc                                 # (K, N)
+        valid = (assoc >= 0) & state.kf_kp_valid & state.kf_valid[:, None]
+        a_safe = jnp.where(valid, assoc, 0)
+        s_tgt = jnp.where(valid, s_of_p[a_safe], -1)           # (K, N)
+        rows = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[:, None],
+                                (K, N))
+        cols = jnp.where(s_tgt >= 0, s_tgt, S)
+        member_s = jnp.zeros((K, S), bool).at[rows, cols].max(s_tgt >= 0,
+                                                              mode="drop")
+        # min-scatter → FIRST observing feature per (keyframe, point),
+        # matching the full version's argmax-of-first-hit under duplicates
+        feat_s = jnp.full((K, S), N, jnp.int32).at[rows, cols].min(
+            jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (K, N)),
+            mode="drop")
+        feat_s = jnp.where(feat_s >= N, -1, feat_s)
 
     n_obs = jnp.sum(member_s.astype(jnp.int32), axis=0)        # (S,)
     pos_s = state.mp_pos[slot_safe]                            # (S, 3)

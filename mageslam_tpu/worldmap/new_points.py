@@ -36,6 +36,7 @@ class NewPointsResult(NamedTuple):
     state: MapState
     created: jax.Array        # () int32 — number of points created
     slots: jax.Array          # (N,) int32 — point slot per Ki feature or -1
+    fidx: jax.Array | None = None  # updated feature-index membership (when threaded)
 
 
 def _epipolar_distance(F: jax.Array, p_from: jax.Array, p_to: jax.Array) -> jax.Array:
@@ -97,6 +98,7 @@ def create_new_map_points(
     search_radius: float = 11.8816156,   # NewMapPointsSearchRadius
     max_keyframe_angle_degrees: float = 60.0,
     max_new_points: int = 256,
+    fidx: jax.Array | None = None,
 ) -> NewPointsResult:
     K, P, N = state.capacity
 
@@ -300,8 +302,25 @@ def create_new_map_points(
     new_state = new_state._replace(
         kf_assoc=new_state.kf_assoc.at[kc_slots].set(rows_new))
 
+    if fidx is not None:
+        from .member_index import fidx_add, fidx_set_rows
+        # Ki gains the created points at their originating features, the
+        # originating Kc rows at their matched features; then the F
+        # re-association rows are rebuilt wholesale from their final
+        # association rows (covers both the create_map_points kb writes and
+        # the associate_into additions). All O(N)/O(F·N) — no full scatter.
+        fidx = fidx_add(fidx, jnp.full((N,), ki, jnp.int32),
+                        jnp.arange(N, dtype=jnp.int32),
+                        jnp.where(created_mask, slots, 0), created_mask)
+        fidx = fidx_add(fidx, kc_of, feat_kc,
+                        jnp.where(created_mask, slots, 0), created_mask)
+        fidx = fidx_set_rows(fidx, kc_slots, rows_new,
+                             new_state.kf_kp_valid[kc_slots],
+                             jnp.ones_like(kc_ok))
+
     return NewPointsResult(
         state=new_state,
         created=jnp.sum(created_mask.astype(jnp.int32)),
         slots=jnp.where(created_mask, slots, -1),
+        fidx=fidx,
     )

@@ -190,11 +190,17 @@ def add_keyframe_tether(
     )
 
 
-def remove_keyframes(state: MapState, remove: jax.Array) -> MapState:
+def remove_keyframes(state: MapState, remove: jax.Array,
+                     fidx: jax.Array | None = None):
     """Invalidate keyframes flagged in `remove` (K,) bool; their association
     rows are cleared. Points left with <2 observers are removed
     (ThreadSafeMap::CullLocalKeyframes tail, ThreadSafeMap.cpp:1139-1150).
-    Tethers referencing a removed keyframe die with it."""
+    Tethers referencing a removed keyframe die with it.
+
+    With `fidx` (the threaded (K, P) feature-index membership,
+    worldmap/member_index.py) the observer recount is an elementwise reduce
+    instead of a fresh 131k-update scatter, and the updated fidx is returned
+    alongside: (state, fidx)."""
     t_dead = (remove[jnp.where(state.tether_owner >= 0, state.tether_owner, 0)]
               | remove[jnp.where(state.tether_origin >= 0,
                                  state.tether_origin, 0)])
@@ -203,10 +209,17 @@ def remove_keyframes(state: MapState, remove: jax.Array) -> MapState:
         kf_assoc=jnp.where(remove[:, None], INVALID, state.kf_assoc),
         tether_weight=jnp.where(t_dead, 0.0, state.tether_weight),
     )
-    member = point_keyframe_matrix(state)
-    n_obs = jnp.sum(member.astype(jnp.int32), axis=0)
+    if fidx is None:
+        member = point_keyframe_matrix(state)
+        n_obs = jnp.sum(member.astype(jnp.int32), axis=0)
+        orphan = state.mp_valid & (n_obs < 2)
+        return remove_map_points(state, orphan)
+    from .member_index import fidx_remove_keyframes, fidx_remove_points
+    fidx = fidx_remove_keyframes(fidx, remove)
+    n_obs = jnp.sum((fidx >= 0).astype(jnp.int32), axis=0)
     orphan = state.mp_valid & (n_obs < 2)
-    return remove_map_points(state, orphan)
+    return (remove_map_points(state, orphan),
+            fidx_remove_points(fidx, orphan))
 
 
 def cull_recent_map_points(
@@ -215,7 +228,8 @@ def cull_recent_map_points(
     failed: jax.Array,             # (P,) bool — failed the 25% found/predicted test
     min_keyframes_for_culling: int = 3,
     recent_window: int = 3,
-) -> MapState:
+    fidx: jax.Array | None = None,
+):
     """ThreadSafeMap::CullRecentMapPoints (ThreadSafeMap.cpp:490-…): recently
     created points must quickly earn ≥3 observing keyframes and pass the
     tracking found/predicted ratio, else they are removed. The reference keeps
@@ -231,7 +245,7 @@ def cull_recent_map_points(
     wasn't re-tracked into the very next keyframe (measured: 92 of 226 init
     points killed at the 2nd keyframe, collapsing orbit tracking). The
     failed-25% test applies at every history age (slots 0-2, age 1-3)."""
-    member = point_keyframe_matrix(state)
+    member = point_keyframe_matrix(state) if fidx is None else (fidx >= 0)
     n_obs = jnp.sum(member.astype(jnp.int32), axis=0)
     age = (state.next_order - 1) - state.mp_created_order        # epochs since creation
     recent = state.mp_valid & (age >= 0) & (age <= recent_window)
@@ -239,7 +253,11 @@ def cull_recent_map_points(
     to_cull = (under_observed | (recent & failed))
     seen_in_ki = member[ki]
     to_cull = to_cull & jnp.logical_not(seen_in_ki)
-    return remove_map_points(state, to_cull)
+    if fidx is None:
+        return remove_map_points(state, to_cull)
+    from .member_index import fidx_remove_points
+    return (remove_map_points(state, to_cull),
+            fidx_remove_points(fidx, to_cull))
 
 
 def cull_local_keyframes(
@@ -251,7 +269,8 @@ def cull_local_keyframes(
     max_tracking_point_overlap: float = 0.9,
     min_keyframe_covis_count: int = 3,
     max_culls: int = 8,
-) -> tuple[MapState, jax.Array]:
+    fidx: jax.Array | None = None,
+):
     """ThreadSafeMap::CullLocalKeyframes: a covisible keyframe is redundant when
     ≥90% of its map points are observed at equal-or-finer scale by ≥3 other
     keyframes. The reference walks the covisible set newest-first, culling
@@ -260,12 +279,18 @@ def cull_local_keyframes(
     redundancy only decreases and the sweep terminates). Here the same loop
     is a lax.while_loop: cull the newest redundant candidate, recompute, and
     repeat until none remain (or the max_culls safety bound). Returns
-    (state, culled mask (K,))."""
+    (state, culled mask (K,)) — or (state, culled, fidx) when the threaded
+    feature-index membership is passed (the octave histogram then comes from
+    gathers + masked sums instead of a per-iteration 131k-update scatter)."""
     K, P, N = state.capacity
     connected = covis[ki] >= covis_theta
 
-    def find_victim(st: MapState) -> tuple[jax.Array, jax.Array]:
-        hist = point_octave_histogram(st, num_levels)            # (P, L)
+    def find_victim(st: MapState, fx) -> tuple[jax.Array, jax.Array]:
+        if fx is None:
+            hist = point_octave_histogram(st, num_levels)        # (P, L)
+        else:
+            from .member_index import octave_histogram_of
+            hist = octave_histogram_of(fx, st.kf_kp_octave, num_levels)
         cum = jnp.cumsum(hist, axis=1)                           # obs at level ≤ l
         candidate = (
             connected
@@ -295,20 +320,37 @@ def cull_local_keyframes(
     # find_victim ONCE for the next round (cond reads the carry). The naive
     # while_loop evaluated find_victim in BOTH cond and body — ~2 ms of
     # (K, N) histogram/gather work per eval on chip, doubled per cull.
-    victim0, any0 = find_victim(state)
+    victim0, any0 = find_victim(state, fidx)
 
     def cond(carry):
-        st, culled, n, victim, any_v = carry
+        st, fx, culled, n, victim, any_v = carry
         return any_v & (n < max_culls)
 
     def body(carry):
-        st, culled, n, victim, any_v = carry
+        st, fx, culled, n, victim, any_v = carry
         cull_mask = (jnp.arange(K) == victim) & any_v
-        st = remove_keyframes(st, cull_mask)
-        v, a = find_victim(st)
-        return st, culled | cull_mask, n + 1, v, a
+        if fidx is None:
+            st = remove_keyframes(st, cull_mask)
+        else:
+            st, fx = remove_keyframes(st, cull_mask, fidx=fx)
+        v, a = find_victim(st, fx)
+        return st, fx, culled | cull_mask, n + 1, v, a
 
-    state, culled, _, _, _ = jax.lax.while_loop(
-        cond, body,
-        (state, jnp.zeros((K,), bool), jnp.int32(0), victim0, any0))
-    return state, culled
+    carry0 = (state, fidx if fidx is not None else jnp.zeros((0,), jnp.int32),
+              jnp.zeros((K,), bool), jnp.int32(0), victim0, any0)
+    if fidx is None:
+        # keep the dummy out of the trace entirely
+        def body_nf(carry):
+            st, culled, n, victim, any_v = carry
+            cull_mask = (jnp.arange(K) == victim) & any_v
+            st = remove_keyframes(st, cull_mask)
+            v, a = find_victim(st, None)
+            return st, culled | cull_mask, n + 1, v, a
+
+        state, culled, _, _, _ = jax.lax.while_loop(
+            lambda c: c[4] & (c[2] < max_culls), body_nf,
+            (state, jnp.zeros((K,), bool), jnp.int32(0), victim0, any0))
+        return state, culled
+
+    state, fidx, culled, _, _, _ = jax.lax.while_loop(cond, body, carry0)
+    return state, culled, fidx

@@ -438,3 +438,101 @@ class TestSpanningTree:
         assert edges[0, 1] and edges[1, 0]    # tree + strong
         assert edges[2, 3]                    # tree edge even though weak
         assert not edges[0, 3]                # weak non-tree edge excluded
+
+
+class TestFidxParity:
+    """The threaded feature-index membership (worldmap/member_index.py) must
+    stay bit-equal to the association-derived tables it replaces: after every
+    fidx-returning mutation, fidx == build_fidx(new_state), and the derived
+    views (membership, octave histogram, per-slot stats refresh) match their
+    scatter-based originals. This is the invariant behind the mapping core's
+    one-scatter-per-event membership threading (runtime/pipeline.py
+    mapping_body)."""
+
+    def _map(self, rng):
+        m, pts = TestBAWindow()._scene_map(TestBAWindow(), rng, 5, 24) if False \
+            else TestBAWindow._scene_map(TestBAWindow(), rng, n_kf=5, n_pts=24)
+        # octave variety so the histogram parity is non-trivial
+        octv = jnp.array(rng.randint(0, 3, (K_CAP, N_CAP)), jnp.int32)
+        return m._replace(kf_kp_octave=octv)
+
+    def test_build_matches_scatter_forms(self, rng):
+        from mageslam_tpu.worldmap.member_index import (build_fidx,
+                                                        octave_histogram_of)
+
+        m = self._map(rng)
+        f = build_fidx(m)
+        assert (np.array(f >= 0) == np.array(membership_matrix(m))).all()
+        h_scatter = point_octave_histogram(m, 3)
+        h_gather = octave_histogram_of(f, m.kf_kp_octave, 3)
+        np.testing.assert_array_equal(np.array(h_scatter), np.array(h_gather))
+
+    def test_mutations_keep_fidx_exact(self, rng):
+        from mageslam_tpu.worldmap.member_index import build_fidx
+
+        m = self._map(rng)
+        f = build_fidx(m)
+
+        # recent-point culling
+        failed = jnp.zeros((P_CAP,), bool).at[:6].set(True)
+        m1a = cull_recent_map_points(m, jnp.int32(4), failed)
+        m1b, f1 = cull_recent_map_points(m, jnp.int32(4), failed, fidx=f)
+        np.testing.assert_array_equal(np.array(m1a.mp_valid), np.array(m1b.mp_valid))
+        np.testing.assert_array_equal(np.array(f1), np.array(build_fidx(m1b)))
+
+        # keyframe removal (orphan sweep)
+        rm = jnp.zeros((K_CAP,), bool).at[3].set(True)
+        m2a = remove_keyframes(m1a, rm)
+        m2b, f2 = remove_keyframes(m1b, rm, fidx=f1)
+        np.testing.assert_array_equal(np.array(m2a.kf_assoc), np.array(m2b.kf_assoc))
+        np.testing.assert_array_equal(np.array(f2), np.array(build_fidx(m2b)))
+
+    def test_cull_local_keyframes_parity(self, rng):
+        from mageslam_tpu.worldmap.member_index import build_fidx
+
+        m = self._map(rng)
+        covis = covisibility_matrix(m)
+        a_state, a_culled = cull_local_keyframes(
+            m, jnp.int32(0), covis, num_levels=3, covis_theta=15,
+            max_tracking_point_overlap=0.5, min_keyframe_covis_count=3)
+        b_state, b_culled, f_out = cull_local_keyframes(
+            m, jnp.int32(0), covis, num_levels=3, covis_theta=15,
+            max_tracking_point_overlap=0.5, min_keyframe_covis_count=3,
+            fidx=build_fidx(m))
+        np.testing.assert_array_equal(np.array(a_culled), np.array(b_culled))
+        np.testing.assert_array_equal(np.array(a_state.kf_valid),
+                                      np.array(b_state.kf_valid))
+        np.testing.assert_array_equal(np.array(f_out),
+                                      np.array(build_fidx(b_state)))
+
+    def test_apply_ba_and_refresh_parity(self, rng):
+        from mageslam_tpu.worldmap.map_state import refresh_point_stats_slots
+        from mageslam_tpu.worldmap.member_index import build_fidx
+
+        m = self._map(rng)
+        w = build_local_ba_window(m, jnp.int32(3), max_cams=8, max_points=64,
+                                  max_obs=256)
+        st = BAState.from_problem(w.problem)
+        st, _mse, _out = step_bundle_adjust(
+            w.problem, st, jnp.zeros((4,), jnp.float32), jnp.float32(100.0))
+        # force a couple of outliers so the unassociation path is exercised
+        outliers = jnp.zeros_like(_out).at[:3].set(w.obs_kf[:3] >= 0)
+        a = apply_ba_results(m, w, st.poses, st.points, outliers,
+                             num_levels=3, scale_factor=2.0)
+        b, f_out = apply_ba_results(m, w, st.poses, st.points, outliers,
+                                    num_levels=3, scale_factor=2.0,
+                                    fidx=build_fidx(m))
+        np.testing.assert_array_equal(np.array(a.kf_assoc), np.array(b.kf_assoc))
+        np.testing.assert_array_equal(np.array(a.mp_valid), np.array(b.mp_valid))
+        np.testing.assert_allclose(np.array(a.mp_dmin), np.array(b.mp_dmin))
+        np.testing.assert_array_equal(np.array(a.mp_desc), np.array(b.mp_desc))
+        np.testing.assert_array_equal(np.array(f_out), np.array(build_fidx(b)))
+
+        # window the same slots through the stats refresh both ways
+        r_a = refresh_point_stats_slots(b, w.pt_slot, 3, 2.0)
+        r_b = refresh_point_stats_slots(b, w.pt_slot, 3, 2.0,
+                                        fidx=build_fidx(b))
+        np.testing.assert_array_equal(np.array(r_a.mp_desc), np.array(r_b.mp_desc))
+        np.testing.assert_allclose(np.array(r_a.mp_dmin), np.array(r_b.mp_dmin))
+        np.testing.assert_allclose(np.array(r_a.mp_mean_dir),
+                                   np.array(r_b.mp_mean_dir))

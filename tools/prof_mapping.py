@@ -98,6 +98,8 @@ def phase_prof(trials: int, reps: int) -> None:
                                                   insert_keyframe)
     from mageslam_tpu.worldmap.new_points import create_new_map_points
 
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     with open("/tmp/mapstate.pkl", "rb") as f:
         state = pickle.load(f)
     m = jax.device_put(state["map"])
@@ -167,7 +169,8 @@ def phase_prof(trials: int, reps: int) -> None:
     # loop-carried predicate.
     inputs = {"m": m, "frame": frame, "ph": ph, "covis": covis_c,
               "window": window_c, "st_poses": st_c.poses,
-              "st_points": st_c.points, "out": out_c, "slots": slots_c}
+              "st_points": st_c.points, "out": out_c, "slots": slots_c,
+              "eq": None}  # filled below once the window constants exist
 
     def perturb_tree(tree, eps, pred):
         def pert(x):
@@ -232,6 +235,38 @@ def phase_prof(trials: int, reps: int) -> None:
         max_tracking_point_overlap=ks.MappingMaxTrackingPointOverlap,
         min_keyframe_covis_count=ks.MinimumKeyframeCovisibilityCount)
     stages["refresh_membership"] = lambda d: refresh_membership(d["m"])
+
+    # --- sub-stages of the two biggest sinks ---
+    from mageslam_tpu.ba.residuals import (observation_residuals,
+                                           tether_residuals)
+    from mageslam_tpu.ba.schur import (build_normal_equations,
+                                       solve_lm_system)
+
+    def _bne(d):
+        pr = d["window"].problem
+        st = BAState.from_problem(pr)
+        obs = observation_residuals(pr, st.poses, st.points, st.obs_info,
+                                    widths[0])
+        teth = tether_residuals(pr, st.poses)
+        return build_normal_equations(pr, obs, teth)
+
+    stages["ba_residuals"] = lambda d: observation_residuals(
+        d["window"].problem,
+        BAState.from_problem(d["window"].problem).poses,
+        d["window"].problem.points,
+        BAState.from_problem(d["window"].problem).obs_info, widths[0])
+    stages["ba_normal_eqs"] = _bne
+
+    inputs["eq"] = jax.jit(_bne)({"window": window_c})
+
+    def _solve(d):
+        return solve_lm_system(d["window"].problem, d["eq"],
+                               jnp.float32(1e-4))
+
+    stages["ba_schur_solve"] = _solve
+    stages["refresh_slots_2048"] = lambda d: refresh_point_stats_slots(
+        d["m"], d["window"].pt_slot, fes.NumLevels, fes.ScaleFactor,
+        max_obs_kf=16)
     # the big composite compile LAST: if the relay starves it, the per-stage
     # numbers above are already printed
     stages["full_mapping"] = lambda d: sess._mapping_fn(

@@ -244,12 +244,23 @@ def main():
     wd_state = {"passes": [], "tracked": 0, "timed": 0, "done": False}
 
     def _watchdog():
-        deadline = 540.0
-        while not wd_state["done"]:
+        # os._exit from here kills the process mid-relay-RPC with no cleanup;
+        # an abruptly-killed TPU process can wedge the chip claim for minutes
+        # (CLAUDE.md), so it is reserved for the two cases where the main
+        # thread is provably stuck in a blocking relay call and the round's
+        # number would otherwise be lost entirely (rc=124). ADVICE r4.
+        while True:
             time.sleep(2.0)
-            if time.perf_counter() - t_start > deadline:
-                if wd_state["done"]:
-                    return
+            elapsed = time.perf_counter() - t_start
+            if wd_state["done"]:
+                # headline already printed — just guarantee rc=0 before the
+                # driver's 570 s SIGTERM if a post-headline diagnostic stalls
+                if elapsed > 548.0:
+                    print("WATCHDOG: post-headline diagnostic stalled; "
+                          "exiting clean", file=sys.stderr, flush=True)
+                    os._exit(0)
+                continue
+            if elapsed > 540.0:
                 p = wd_state["passes"]
                 if not p or not wd_state["timed"]:
                     return      # nothing honest to report; let timeout hit
@@ -263,6 +274,8 @@ def main():
                     "value": round(v, 2),
                     "unit": "frames/s",
                     "vs_baseline": round(v / 30.0, 3),
+                    "passes": len(p),
+                    "truncated": True,
                 }), flush=True)
                 os._exit(0)
 

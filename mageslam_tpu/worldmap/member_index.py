@@ -61,21 +61,28 @@ def fidx_set_row(fidx: jax.Array, k: jax.Array, assoc_row: jax.Array,
 
 
 def fidx_set_rows(fidx: jax.Array, ks: jax.Array, assoc_rows: jax.Array,
-                  kp_valid_rows: jax.Array, ok_rows: jax.Array) -> jax.Array:
+                  kp_valid_rows: jax.Array, ok_rows: jax.Array,
+                  kf_valid: jax.Array | None = None) -> jax.Array:
     """Rebuild a small batch of rows (F,) from association rows (F, N);
     rows with ok_rows[f] False keep their old contents. ks must be distinct
-    where ok (callers pass argsort slices)."""
+    where ok (callers pass argsort slices). kf_valid (K,) folds the keyframe
+    validity factor build_fidx applies — without it correctness relies on
+    the invariant that invalid keyframes carry fully cleared kf_assoc rows
+    (true for every current caller via remove_keyframes/empty_map, but a
+    latent hazard for new ones; ADVICE r4)."""
     K, P = fidx.shape
+    kfv = (jnp.ones_like(ok_rows) if kf_valid is None
+           else kf_valid[jnp.clip(ks, 0, K - 1)])
 
-    def one(k, row, kpv, ok):
+    def one(k, row, kpv, ok, kv):
         N = row.shape[0]
-        okm = (row >= 0) & kpv & ok
+        okm = (row >= 0) & kpv & ok & kv
         r = jnp.full((P,), N, jnp.int32).at[
             jnp.where(okm, row, P)
         ].min(jnp.arange(N, dtype=jnp.int32), mode="drop")
         return jnp.where(r >= N, INVALID, r)
 
-    rows = jax.vmap(one)(ks, assoc_rows, kp_valid_rows, ok_rows)      # (F, P)
+    rows = jax.vmap(one)(ks, assoc_rows, kp_valid_rows, ok_rows, kfv)  # (F, P)
     keep = jnp.where(ok_rows[:, None], rows,
                      fidx[jnp.where(ok_rows, ks, 0)])
     return fidx.at[jnp.where(ok_rows, ks, K)].set(keep, mode="drop")

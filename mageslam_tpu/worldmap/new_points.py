@@ -316,7 +316,8 @@ def create_new_map_points(
                         jnp.where(created_mask, slots, 0), created_mask)
         fidx = fidx_set_rows(fidx, kc_slots, rows_new,
                              new_state.kf_kp_valid[kc_slots],
-                             jnp.ones_like(kc_ok))
+                             jnp.ones_like(kc_ok),
+                             kf_valid=new_state.kf_valid)
 
     return NewPointsResult(
         state=new_state,

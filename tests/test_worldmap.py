@@ -332,38 +332,45 @@ class TestCulling:
         assert not bool(m2.mp_valid[slots[0]])  # only 1 observer left → dead
 
 
+def _scene_map(rng, n_kf=4, n_pts=24):
+    """Consistent multi-keyframe scene fixture shared by TestBAWindow and
+    TestFidxParity (module-level so borrowing classes don't need an unbound
+    method call; ADVICE r4)."""
+    m = empty_map(K_CAP, P_CAP, N_CAP)
+    pts = np.stack([
+        rng.uniform(-2, 2, n_pts), rng.uniform(-1.5, 1.5, n_pts),
+        rng.uniform(4, 8, n_pts),
+    ], axis=1).astype(np.float32)
+    # points must be valid BEFORE keyframe insertion: insert_keyframe drops
+    # associations pointing at invalid point slots
+    m = m._replace(
+        mp_valid=m.mp_valid.at[:n_pts].set(True),
+        mp_pos=m.mp_pos.at[:n_pts].set(jnp.array(pts)),
+    )
+    poses = []
+    for i in range(n_kf):
+        t = np.array([0.3 * i, 0.0, 0.0], np.float32)
+        poses.append(Pose(jnp.eye(3), jnp.array(-t)))  # center at +t
+    for i, p in enumerate(poses):
+        Xc = np.array(p.transform(jnp.array(pts)))
+        uv = np.stack([
+            300 * Xc[:, 0] / Xc[:, 2] + 160, 300 * Xc[:, 1] / Xc[:, 2] + 120,
+        ], axis=1).astype(np.float32)
+        xy = jnp.zeros((N_CAP, 2)).at[:n_pts].set(jnp.array(uv))
+        m, _ = insert_keyframe(
+            m, p, CAM, jnp.int32(i), xy, jnp.zeros((N_CAP,), jnp.int32),
+            jnp.zeros((N_CAP, 8), jnp.uint32),
+            jnp.arange(N_CAP) < n_pts,
+            jnp.where(jnp.arange(N_CAP) < n_pts,
+                      jnp.arange(N_CAP, dtype=jnp.int32), -1),
+            fixed=(i == 0), immortal=(i < 2),
+        )
+    return m, pts
+
+
 class TestBAWindow:
     def _scene_map(self, rng, n_kf=4, n_pts=24):
-        m = empty_map(K_CAP, P_CAP, N_CAP)
-        pts = np.stack([
-            rng.uniform(-2, 2, n_pts), rng.uniform(-1.5, 1.5, n_pts),
-            rng.uniform(4, 8, n_pts),
-        ], axis=1).astype(np.float32)
-        # points must be valid BEFORE keyframe insertion: insert_keyframe drops
-        # associations pointing at invalid point slots
-        m = m._replace(
-            mp_valid=m.mp_valid.at[:n_pts].set(True),
-            mp_pos=m.mp_pos.at[:n_pts].set(jnp.array(pts)),
-        )
-        poses = []
-        for i in range(n_kf):
-            t = np.array([0.3 * i, 0.0, 0.0], np.float32)
-            poses.append(Pose(jnp.eye(3), jnp.array(-t)))  # center at +t
-        for i, p in enumerate(poses):
-            Xc = np.array(p.transform(jnp.array(pts)))
-            uv = np.stack([
-                300 * Xc[:, 0] / Xc[:, 2] + 160, 300 * Xc[:, 1] / Xc[:, 2] + 120,
-            ], axis=1).astype(np.float32)
-            xy = jnp.zeros((N_CAP, 2)).at[:n_pts].set(jnp.array(uv))
-            m, _ = insert_keyframe(
-                m, p, CAM, jnp.int32(i), xy, jnp.zeros((N_CAP,), jnp.int32),
-                jnp.zeros((N_CAP, 8), jnp.uint32),
-                jnp.arange(N_CAP) < n_pts,
-                jnp.where(jnp.arange(N_CAP) < n_pts,
-                          jnp.arange(N_CAP, dtype=jnp.int32), -1),
-                fixed=(i == 0), immortal=(i < 2),
-            )
-        return m, pts
+        return _scene_map(rng, n_kf, n_pts)
 
     def test_window_assembly(self, rng):
         m, pts = self._scene_map(rng)
@@ -450,8 +457,7 @@ class TestFidxParity:
     mapping_body)."""
 
     def _map(self, rng):
-        m, pts = TestBAWindow()._scene_map(TestBAWindow(), rng, 5, 24) if False \
-            else TestBAWindow._scene_map(TestBAWindow(), rng, n_kf=5, n_pts=24)
+        m, pts = _scene_map(rng, n_kf=5, n_pts=24)
         # octave variety so the histogram parity is non-trivial
         octv = jnp.array(rng.randint(0, 3, (K_CAP, N_CAP)), jnp.int32)
         return m._replace(kf_kp_octave=octv)

@@ -136,7 +136,7 @@ def phase_prof(trials: int, reps: int) -> None:
         kp_xy=m.kf_kp_xy[ki], kp_octave=m.kf_kp_octave[ki],
         desc=m.kf_desc[ki], kp_valid=m.kf_kp_valid[ki],
         assoc=m.kf_assoc[ki],
-        timestamp=jnp.float64(0.0) if False else jnp.float32(0.0),
+        timestamp=jnp.float32(0.0),
         frame_id=jnp.int32(10_000),
     )
     ki = jnp.int32(ki)

@@ -286,11 +286,15 @@ def cull_local_keyframes(
     connected = covis[ki] >= covis_theta
 
     def find_victim(st: MapState, fx) -> tuple[jax.Array, jax.Array]:
-        if fx is None:
-            hist = point_octave_histogram(st, num_levels)        # (P, L)
-        else:
-            from .member_index import octave_histogram_of
-            hist = octave_histogram_of(fx, st.kf_kp_octave, num_levels)
+        # ALWAYS the scatter-based histogram, even with fidx threaded: the
+        # gather form (member_index.octave_histogram_of) reads K*P=2M
+        # dynamically-indexed elements where the scatter updates only
+        # K*N=131k — measured 23.5 ms vs 3.3 ms for this whole stage on the
+        # chip (tools/prof_mapping.py r5). fidx stays threaded for the
+        # remove_keyframes bookkeeping below; st.kf_assoc is equally current
+        # (removals clear rows), so the two forms agree bit-exactly
+        # (tests/test_worldmap.py TestFidxParity).
+        hist = point_octave_histogram(st, num_levels)            # (P, L)
         cum = jnp.cumsum(hist, axis=1)                           # obs at level ≤ l
         candidate = (
             connected

@@ -98,13 +98,16 @@ class SlamSession:
                  image_width: int = 320, image_height: int = 180,
                  seed: int = 1234,
                  camera: jax.Array | None = None,
-                 metrics=None, introspection=None, determinator=None):
+                 metrics=None, introspection=None, determinator=None,
+                 xray=None):
         # optional diagnostics (diagnostics.MetricChannels / Introspection /
-        # Determinator) — None keeps the hot path free of host readbacks,
-        # matching the reference's compiled-out release macros (SURVEY §5.1)
+        # Determinator / XRay) — None keeps the hot path free of host
+        # readbacks, matching the reference's compiled-out release macros
+        # (SURVEY §5.1)
         self.metrics = metrics
         self.introspection = introspection
         self.determinator = determinator
+        self.xray = xray
         self.settings = settings or golden_path_settings()
         b = self.settings.Budgets
         self.fes = self.settings.MonoSettings.MonoCamera.FeatureExtractorSettings
@@ -560,6 +563,19 @@ class SlamSession:
         attached — the analogue of the reference's debug-only macro."""
         if self.determinator is not None:
             self.determinator.check(name, *trees)
+
+    def attach_xray(self, xray) -> None:
+        """Attach a diagnostics.XRay stage I/O recorder (arcana xray /
+        DataFlow analog — see diagnostics/xray.py). Captures activate at the
+        wired dispatch sites from the next call on."""
+        self.xray = xray
+
+    def _xray_capture(self, stage: str, inputs, outputs) -> None:
+        """XRAY_BEGINTRACE/UPDATETRACE site (arcana/analysis/xray.h:28-43;
+        DataFlow.h:14-66 `.Input/.Output` around each worker body). No-op —
+        zero device fetches — unless an XRay is attached."""
+        if self.xray is not None and self.xray.wants(stage):
+            self.xray.capture(stage, inputs, outputs)
 
     def _frame(self, feats: FrameFeatures, pose: Pose, timestamp, frame_id,
                assoc=None) -> TrackedFrame:
@@ -2097,8 +2113,15 @@ class SlamSession:
             min_steps=bas.MinSteps,
             step_fn=self._global_ba_step_fn(),
         )
-        self.map = self._global_apply_core(
+        new_map = self._global_apply_core(
             self.map, window, st.poses, st.points, outliers)
+        self._xray_capture(
+            "GlobalBA",
+            {"poses_in": self.map.kf_pose, "points_in": self.map.mp_pos,
+             "obs_kf": window.obs_kf, "pt_slot": window.pt_slot},
+            {"poses_out": new_map.kf_pose, "points_out": new_map.mp_pos,
+             "outliers": outliers, "mse": mse})
+        self.map = new_map
         return float(mse)
 
     def _get_kf_resolve_core(self):
@@ -2171,6 +2194,9 @@ class SlamSession:
             self.key)
         if det is None:
             return False
+        self._xray_capture(
+            "LoopClosure.Detect",
+            {"frame": frame, "ki": ki_i, "frame_id": frame_id}, det)
         if defer:
             self._pending_loop_dets.append((det, frame, ki_i, int(frame_id)))
             return False

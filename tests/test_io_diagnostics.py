@@ -341,6 +341,68 @@ class TestDeterminismReplay:
         assert sink[0]["outputs"]["shape"] == [4]
 
 
+class TestXRayFullCapture:
+    """Full per-stage I/O dumps + offline diff (arcana xray.h:28-43 /
+    Analysis/DataFlow.h:14-66 — VERDICT r4 #7). Two sites are wired in the
+    session: LoopClosure.Detect (per resolved keyframe) and GlobalBA
+    (fossilize / loop close)."""
+
+    def test_session_sites_dump_and_diff_clean(self, rng, tmp_path):
+        from mageslam_tpu.diagnostics import XRay, diff_dumps
+
+        pts, descs = make_world(rng)
+        frames = []
+        frng = np.random.RandomState(13)
+        # 0.1 s steps: enough motion that the keyframe decision fires inside
+        # 30 frames (keyframe insertion is what dispatches the wired
+        # LoopClosure.Detect site)
+        for i in range(30):
+            t = i * 0.1
+            frames.append((frame_features(pts, descs, pose_at(t), 512, frng),
+                           t, i))
+
+        def run(directory):
+            x = XRay(str(directory))
+            sess = SlamSession(cam=CAM, image_width=int(W),
+                               image_height=int(H), xray=x)
+            for feats, t, i in frames:
+                sess.process_features(feats, t, i)
+            sess.fossilize(global_ba_steps=2)
+            return sorted(os.listdir(directory))
+
+        files_a = run(tmp_path / "a")
+        files_b = run(tmp_path / "b")
+        assert files_a == files_b and files_a, "no captures produced"
+        # both wired stages fired
+        assert any("LoopClosure.Detect" in f for f in files_a)
+        assert any("GlobalBA" in f for f in files_a)
+        # a capture is a full self-describing dump: dtype/shape/data leaves
+        import json
+        with open(tmp_path / "a" / files_a[0]) as f:
+            doc = json.load(f)
+        assert doc["stage"] and "inputs" in doc and "outputs" in doc
+
+        # identical runs diff clean at every stage (the offline workflow)
+        for fa in files_a:
+            assert diff_dumps(str(tmp_path / "a" / fa),
+                              str(tmp_path / "b" / fa)) == []
+
+    def test_diff_reports_divergence(self, tmp_path):
+        from mageslam_tpu.diagnostics import XRay, diff_dumps
+
+        x = XRay(str(tmp_path), stages={"s"})
+        assert not x.wants("other")
+        p1 = x.capture("s", {"a": jnp.arange(4.0)}, {"b": jnp.ones((2, 2))})
+        p2 = x.capture("s", {"a": jnp.arange(4.0)},
+                       {"b": jnp.ones((2, 2)).at[0, 1].set(3.0)})
+        d = diff_dumps(p1, p2)
+        assert len(d) == 1
+        assert d[0]["path"] == "outputs.b"
+        assert d[0]["n_diff"] == 1 and d[0]["max_abs_delta"] == 2.0
+        # tolerance swallows it
+        assert diff_dumps(p1, p2, atol=2.5) == []
+
+
 class TestConfigJson:
     def test_settings_json_roundtrip(self, tmp_path):
         import json

@@ -318,19 +318,27 @@ def main():
     sess._chunk_pipeline_depth = 4
 
     CHUNK = 32
-    # warmup: init + BoW retrain + first keyframes on the per-frame path
-    # (compiles every core incl. the keyframe-resolution core at the first
-    # keyframe)
-    for i in range(WARMUP_FRAMES):
+    # warmup: per-frame ONLY until monocular init adopts (~4 frames — the
+    # boot frontend + init/adopt cores), then hand straight to the stream
+    # path. The sync tracking/mapping/resolution executables never compile:
+    # r4 spent 220 s of relay compile on warmup frames 5-15 (sync track +
+    # mapping cores + BoW retrain) that the timed passes never use
+    # (VERDICT r4 #9). BoW training now pools from resolved chunks
+    # (pipeline._resolve_chunks), so the retrain gate + compile land inside
+    # the warm chunks below, not a timed pass.
+    i = 0
+    while not sess.initialized and i < WARMUP_FRAMES:
         sess.process_frame(bank[i], i * 0.033, i)
-        if i in (0, 5, 15, WARMUP_FRAMES - 1):
-            stage(f"warmup frame {i}")
+        i += 1
+    stage(f"init adopted after {i} per-frame warmup frames")
     # compile the chunked stream core + resolution path pre-snapshot; TWO
     # chunks so the group-resolution path (incl. deferred loop-det flags
-    # riding the fetch) also compiles/exercises before timing
-    sess.process_frame_stream(bank, ts_all, ids_all, start=WARMUP_FRAMES,
-                              stop=WARMUP_FRAMES + 2 * CHUNK, chunk=CHUNK)
+    # riding the fetch and the BoW retrain) also compiles/exercises before
+    # timing
+    sess.process_frame_stream(bank, ts_all, ids_all, start=i,
+                              stop=i + 2 * CHUNK, chunk=CHUNK)
     sess.flush_chunks()
+    i0 = i + 2 * CHUNK
     stage("stream warm chunks done")
     snap = sess.snapshot_state()
     kf_snap = int(np.asarray(sess.map.kf_valid).sum())
@@ -367,7 +375,6 @@ def main():
     # relay round trip) amortized over the whole pass. Median over 5 passes
     # rejects remote-relay stalls (CLAUDE.md: identical code has measured
     # 45-290 fps purely from relay phase).
-    i0 = WARMUP_FRAMES + 2 * CHUNK
     pass_len = ((N_FRAMES - i0) // CHUNK) * CHUNK
     tracked = timed = 0
     pass_times, pass_diags, pass_decomp = [], [], []
@@ -403,10 +410,27 @@ def main():
           f"{int(np.asarray(sess.map.kf_valid).sum())}; "
           f"loops_closed {sess.n_loops_closed}",
           file=sys.stderr)
-    wd_state["done"] = True
     med = float(np.median(pass_times)) / pass_len
     fps = 1.0 / med if med > 0 else 0.0
     value = fps * (tracked / max(timed, 1))
+
+    # headline FIRST, diagnostics after (ADVICE r4 medium): a bad-phase
+    # diagnostic compile (295-365 s measured) after a slow warmup can stall
+    # past the 570 s driver timeout; printing the number before the
+    # budget-gated extras means a stalled diagnostic can no longer cost the
+    # round its measurement. resolve time blocks on the device queue
+    # draining, so the median pass's resolve_s / pass_len ≈ device-bound
+    # ms/frame — attributes regressions to device compute vs relay phase at
+    # a glance (VERDICT r4 #10).
+    med_resolve = float(np.median([a for a, _ in pass_decomp]))
+    print(json.dumps({
+        "metric": "tracked_fps_640x480_mono",
+        "value": round(value, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(value / 30.0, 3),
+        "device_ms_per_frame": round(med_resolve / pass_len * 1000.0, 3),
+    }), flush=True)
+    wd_state["done"] = True
 
     # kernel selfchecks AFTER the timed passes (r4): in a bad relay phase the
     # two tiny selfcheck compiles alone have cost 295-365 s — ahead of the
@@ -473,13 +497,6 @@ def main():
                   f"global BA) = {dt * 1000:.1f} ms warm")
     except Exception as e:
         print(f"loop-apply timing SKIPPED: {e!r}", file=sys.stderr)
-
-    print(json.dumps({
-        "metric": "tracked_fps_640x480_mono",
-        "value": round(value, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(value / 30.0, 3),
-    }))
 
 
 if __name__ == "__main__":

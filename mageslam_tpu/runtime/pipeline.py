@@ -175,6 +175,7 @@ class SlamSession:
         # ImageAnalyzer.cpp:249-252 — the init-time 2-frame vocabulary is
         # provisional until then)
         self._bow_pool: list = []
+        self._bow_pool_frames = 0
         self._bow_retrained = False
         # visual-inertial path (FuserSettings.UseFuser; golden path = False)
         self.fuser = None
@@ -208,6 +209,16 @@ class SlamSession:
         # `detected` flags ride the NEXT group summary fetch (a bare
         # per-keyframe bool fetch costs a full relay round trip)
         self._pending_loop_dets: list = []
+        # deferred-detection observability (CI asserts on these — the
+        # stream-path loop-closure machinery is the most intricate host
+        # logic in the session and its guards must be provably exercised):
+        # deferred = detections queued at chunk resolution, resolved = flags
+        # read back, stale_slot = closures refused by the slot-identity
+        # guard, closed = closures applied, requeued = sibling detections
+        # re-dispatched against the post-closure map (LoopClosureWorker
+        # re-attempt schedule, Tasks/Runtime.cpp:552-573)
+        self.loop_det_stats = dict.fromkeys(
+            ("deferred", "resolved", "stale_slot", "closed", "requeued"), 0)
         # mapping offload (enable_mapping_offload): None = sync mapping
         self._mapping_device = None
         self._offload_core = None
@@ -219,8 +230,10 @@ class SlamSession:
         self.enable_sharded_global_ba: bool | None = None
         self._sharded_ba_step = None      # ((flag, n_devices), step_fn) cache
         # per-keyframe resolution core (BoW add + loop detection, one jitted
-        # dispatch) and the jitted loop-closure apply — built lazily
+        # dispatch), the detect-only re-attempt core, and the jitted
+        # loop-closure apply — built lazily
         self._kf_resolve_core = None
+        self._kf_redetect_core = None
         self._close_loop_core = None
         # chunks in flight before resolving (>1 hides the dispatch+fetch
         # round trips behind device compute). Mapping does NOT lag with
@@ -502,23 +515,30 @@ class SlamSession:
                                          cam=cam1)
         return self.process_features(feats0, timestamp, frame_id)
 
-    def _accumulate_bow_training(self, desc: jax.Array, valid: jax.Array):
-        """Feed one frame's descriptors to the training pool and retrain the
-        vocabulary once the reference's gate is met (TrainingFrames frames
-        AND ≥ MinTrainingSize descriptors; keeps accumulating a few more
-        frames if the pool is still thin — OnlineBow.cpp:454-471)."""
+    def _accumulate_bow_training(self, desc: jax.Array, valid: jax.Array,
+                                 n_frames: int = 1):
+        """Feed descriptors to the training pool and retrain the vocabulary
+        once the reference's gate is met (TrainingFrames frames AND
+        ≥ MinTrainingSize descriptors; keeps accumulating a few more frames
+        if the pool is still thin — OnlineBow.cpp:454-471). `n_frames` lets
+        the chunked stream path feed a whole resolved chunk's stacked
+        descriptors ((C·N, 8) + (C·N,)) as one pool entry counting C frames
+        — so sessions that stream from (nearly) the first frame still hit
+        the retrain gate during warmup instead of inside a timed region."""
         bw = self.settings.BagOfWordsSettings
         if self._bow_retrained:
             return
-        if len(self._bow_pool) < 3 * bw.TrainingFrames:
-            self._bow_pool.append((desc, valid))   # cap growth, not retrain
-        if not self.initialized or len(self._bow_pool) < bw.TrainingFrames:
+        if self._bow_pool_frames < 3 * bw.TrainingFrames:
+            self._bow_pool.append((desc.reshape(-1, desc.shape[-1]),
+                                   valid.reshape(-1)))  # cap growth, not retrain
+            self._bow_pool_frames += n_frames
+        if not self.initialized or self._bow_pool_frames < bw.TrainingFrames:
             return
         pool_d = jnp.concatenate([d for d, _ in self._bow_pool])
         pool_v = jnp.concatenate([v for _, v in self._bow_pool])
         n_valid = int(jnp.sum(pool_v))     # one host sync, once per attempt
         if n_valid < bw.MinTrainingSize and \
-                len(self._bow_pool) < 2 * bw.TrainingFrames:
+                self._bow_pool_frames < 2 * bw.TrainingFrames:
             return                          # thin pool — keep accumulating
         from ..bow.index import retrain_index_jit
 
@@ -531,6 +551,7 @@ class SlamSession:
         )
         self._bow_retrained = True
         self._bow_pool = []
+        self._bow_pool_frames = 0
 
     def process_features(self, feats: FrameFeatures, timestamp: float,
                          frame_id: int, cam=None) -> FrameResult:
@@ -1329,8 +1350,13 @@ class SlamSession:
         per-frame dispatches reseed exactly."""
         out = self._resolve_chunks(len(self._pending_chunks))
         # drain detections dispatched during that resolve (their flags had
-        # no later group fetch to ride)
-        self._resolve_loop_dets()
+        # no later group fetch to ride); bounded loop because applying a
+        # closure can REQUEUE sibling re-detections whose fresh flags have
+        # no later fetch either
+        for _ in range(3):
+            if not self._pending_loop_dets:
+                break
+            self._resolve_loop_dets()
         self._dev_counters = None
         return out
 
@@ -1341,7 +1367,7 @@ class SlamSession:
         "map", "history", "pose_history", "bow", "key", "initialized",
         "lost_count", "frames_since_keyframe", "frames_since_reloc",
         "map_scale", "last_kf_slot", "n_loops_closed", "prev_features",
-        "prev_meta", "_bow_retrained",
+        "prev_meta", "_bow_retrained", "_bow_pool_frames",
     )
 
     def snapshot_state(self) -> dict:
@@ -1356,7 +1382,10 @@ class SlamSession:
             self.flush_chunks()
         if self._pending:
             self.flush()
-        self._resolve_loop_dets()
+        for _ in range(3):
+            if not self._pending_loop_dets:
+                break
+            self._resolve_loop_dets()
         self._adopt_offloaded_mapping()
         snap = {a: getattr(self, a) for a in self._SNAP_ATTRS}
         snap["_bow_pool"] = list(self._bow_pool)
@@ -1412,6 +1441,16 @@ class SlamSession:
             s_all = np.asarray(jnp.stack([b[1] for b in batch]))
         results: list[FrameResult] = []
         for (frames_out, _, frame_ids), s in zip(batch, s_all):
+            # until the vocabulary is retrained, every resolved chunk's
+            # stacked descriptors feed the BoW training pool (one device-
+            # resident entry counting C frames) — sessions that stream from
+            # right after init still hit the TrainingFrames retrain gate
+            # during their warm chunks (OnlineBow.cpp:454-471 accumulates
+            # every analyzed image, not just keyframes)
+            if not self._bow_retrained:
+                self._accumulate_bow_training(
+                    frames_out.desc, frames_out.kp_valid,
+                    n_frames=len(frame_ids))
             # stream-path DETERMINISTIC_CHECK: the whole summary (poses,
             # flags, counters, per-frame state digests) — already on host,
             # zero extra fetches (reference: determinator CRCs inside its
@@ -1994,11 +2033,18 @@ class SlamSession:
         (m2, ki, culled, old_poses), frame, frame_id, (sf, sp) = \
             self._offload_pending
         self._offload_pending = None
-        # adopt onto whatever device the session's live state occupies (NOT
-        # jax.devices()[0] — multi-session sharding may place it elsewhere)
-        main_dev = next(iter(self.map.mp_pos.devices()))
-        m2, ki, culled, old_poses = jax.device_put(
-            (m2, ki, culled, old_poses), main_dev)
+        # adopt onto whatever placement the session's live state occupies —
+        # leaf-by-leaf sharding match, NOT a single device: after a sharded
+        # global BA (enable_sharded_global_ba) the live map's arrays carry a
+        # multi-device sharding, and putting the offload result on one of
+        # those devices makes the merge below mix incompatible placements
+        m2 = jax.tree.map(
+            lambda n, r: jax.device_put(n, r.sharding), m2, self.map)
+        old_poses = jax.tree.map(
+            lambda n, r: jax.device_put(n, r.sharding),
+            old_poses, self.map.kf_pose)
+        culled = jax.device_put(culled, self.map.kf_valid.sharding)
+        ki = np.int32(ki)      # host scalar — placement-neutral
         # merge tracking-side recent-point counters earned during the overlap
         m2 = m2._replace(
             mp_found=jnp.where(m2.mp_valid,
@@ -2141,9 +2187,7 @@ class SlamSession:
         if self._kf_resolve_core is not None:
             return self._kf_resolve_core
         lc = self.settings.LoopClosureSettings
-        rs = self.settings.RelocalizationSettings
-        cs = self.settings.CovisibilitySettings
-        from .loop_closure import detect_loop
+        detect = self._build_detect_fn()
 
         def core(map_state, bow, frame, ki, fid, key):
             slot_ok = map_state.kf_frame_id[ki] == fid
@@ -2152,6 +2196,22 @@ class SlamSession:
             bow = bow._replace(kf_has=bow.kf_has & map_state.kf_valid)
             if not lc.EnableLoopClosure:
                 return bow, None, key
+            det, key = detect(map_state, bow, frame, ki, key)
+            det = det._replace(detected=det.detected & slot_ok)
+            return bow, det, key
+
+        self._kf_resolve_core = jax.jit(core)
+        return self._kf_resolve_core
+
+    def _build_detect_fn(self):
+        """The gated detect_loop closure shared by the per-keyframe resolve
+        core and the detect-only re-attempt core (_get_kf_redetect_core)."""
+        lc = self.settings.LoopClosureSettings
+        rs = self.settings.RelocalizationSettings
+        cs = self.settings.CovisibilitySettings
+        from .loop_closure import detect_loop
+
+        def detect(map_state, bow, frame, ki, key):
             # consume a key ONLY when detection is live (n_kf >= MinKeyframe)
             # — the round-3 host gate skipped the split entirely below the
             # threshold, and every downstream consumer (BoW retrain at
@@ -2173,11 +2233,30 @@ class SlamSession:
                     search_radius=lc.MatchSearchRadius,
                 ),
             )
-            det = det._replace(detected=det.detected & slot_ok)
-            return bow, det, key
+            return det, key
 
-        self._kf_resolve_core = jax.jit(core)
-        return self._kf_resolve_core
+        return detect
+
+    def _get_kf_redetect_core(self):
+        """Detect-only re-attempt: a sibling detection observed in the same
+        resolution batch as an applied closure was computed against the
+        PRE-closure map — its correction is stale, but the underlying loop
+        (if distinct) is still open. Re-run the detection cascade against
+        the post-closure map, NO BoW re-add (the keyframe is already
+        indexed). Reference: the loop-closure worker's scheduled re-attempts
+        (Tasks/Runtime.cpp:552-573, LoopClosureWorker.cpp:90-208)."""
+        if self._kf_redetect_core is not None:
+            return self._kf_redetect_core
+        detect = self._build_detect_fn()
+
+        def core(map_state, bow, frame, ki, fid, key):
+            slot_ok = map_state.kf_frame_id[ki] == fid
+            det, key = detect(map_state, bow, frame, ki, key)
+            det = det._replace(detected=det.detected & slot_ok)
+            return det, key
+
+        self._kf_redetect_core = jax.jit(core)
+        return self._kf_redetect_core
 
     def _post_keyframe(self, frame: TrackedFrame, ki_i: int, frame_id: int,
                        defer: bool = False) -> bool:
@@ -2199,6 +2278,7 @@ class SlamSession:
             {"frame": frame, "ki": ki_i, "frame_id": frame_id}, det)
         if defer:
             self._pending_loop_dets.append((det, frame, ki_i, int(frame_id)))
+            self.loop_det_stats["deferred"] += 1
             return False
         self._det_check("LoopClosure.Detect", det.detected, det.scale,
                         det.cluster_mask)
@@ -2250,25 +2330,46 @@ class SlamSession:
         if flags is None:
             flags = np.asarray(jnp.stack(
                 [d.detected for d, _, _, _ in dets]).astype(jnp.float32))
-        for (det, frame_k, ki_i, fid), hit in zip(dets, flags):
+        stats = self.loop_det_stats
+        for idx, ((det, frame_k, ki_i, fid), hit) in enumerate(
+                zip(dets, flags)):
             self._det_check("LoopClosure.Detect", det.detected, det.scale,
                             det.cluster_mask)
+            stats["resolved"] += 1
             if not (hit > 0):
                 continue
             # the slot may have been culled and re-used by frames resolved
             # since dispatch — closing against the new occupant would poison
             # the map (same guard as the keyframe resolution path)
             if int(np.asarray(self.map.kf_frame_id[ki_i])) != int(fid):
+                stats["stale_slot"] += 1
                 continue
             self._apply_loop_closure(det, frame_k, ki_i)
+            stats["closed"] += 1
             # one closure per batch: the remaining detections were computed
             # against the PRE-closure map (poses/points/covisibility all
-            # moved) — applying them would re-close the same loop with stale
-            # corrections. The sync path gets this for free by applying
-            # before the next detection runs; later keyframes re-detect
-            # against the merged map at their next resolution if residual
-            # drift remains (LoopClosureWorker re-attempt schedule,
-            # Runtime.cpp:552-573).
+            # moved) — applying their stale corrections would re-close the
+            # same loop wrongly. The sync path gets this for free by
+            # applying before the next detection runs. Sibling detections
+            # that ALSO fired are not discarded: re-run the detection
+            # cascade against the post-closure map (one dispatch each,
+            # keyframe-rare) and defer the fresh flags to the next group
+            # fetch — a genuinely distinct second loop (figure-8) re-detects
+            # and closes one batch later, while a sibling of the closed loop
+            # comes back negative through the now-merged covisibility
+            # (LoopClosureWorker re-attempt schedule, Runtime.cpp:552-573).
+            redetect = self._get_kf_redetect_core()
+            for (_, frame2, ki2, fid2), hit2 in zip(dets[idx + 1:],
+                                                    flags[idx + 1:]):
+                stats["resolved"] += 1
+                if not (hit2 > 0):
+                    continue
+                det2, self.key = redetect(self.map, self.bow, frame2,
+                                          np.int32(ki2), np.int32(fid2),
+                                          self.key)
+                self._pending_loop_dets.append(
+                    (det2, frame2, int(ki2), int(fid2)))
+                stats["requeued"] += 1
             break
 
     def get_tracking_results_for_frames(self, frame_ids):
@@ -2312,7 +2413,10 @@ class SlamSession:
         if self._pending_chunks or self._pending:
             self.flush_chunks()
             self.flush()
-        self._resolve_loop_dets()
+        for _ in range(3):
+            if not self._pending_loop_dets:
+                break
+            self._resolve_loop_dets()
         self._adopt_offloaded_mapping()
         steps = global_ba_steps if global_ba_steps is not None else \
             self.settings.GraphOptimizationSettings.NumSteps

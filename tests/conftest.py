@@ -19,6 +19,11 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the suite is compile-dominated (chunk cores take
+# 2-5 min each to build on one CPU core); caching executables on disk makes
+# repeat runs and shared-shape tests pay the trace, not the XLA build.
+jax.config.update("jax_compilation_cache_dir", "/tmp/mageslam_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

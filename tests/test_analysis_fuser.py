@@ -135,17 +135,26 @@ class TestEkf:
             if f.mode != FuserMode.WAIT_FOR_GRAVITY:
                 break
         assert f.mode == FuserMode.SCALE_INIT
-        # moving visual poses with matching IMU → scale estimate → TRACKING
+        # moving visual poses with a PHYSICALLY CONSISTENT IMU: constant
+        # +1 m/s² along +x from rest, so the specific force is
+        # (1, 0, G) and the camera center follows c(τ) = ½τ² — the scale
+        # estimate must come out ≈ 1 (visual poses are metric here). The
+        # earlier form moved the camera against a static-gravity IMU; its
+        # scale was degenerate (~0) and pose_prior now correctly refuses
+        # to divide by it.
         for k in range(6):
             t += 0.1
             f.add_sample(SensorSample(SampleType.GYROMETER, t - 0.05,
                                       np.zeros(3, np.float32)))
             f.add_sample(SensorSample(SampleType.ACCELEROMETER, t - 0.05,
-                                      np.array([0, 0, GRAVITY], np.float32)))
-            pose = Pose(jnp.eye(3), jnp.array([-0.1 * k, 0.0, 0.0]))
+                                      np.array([1.0, 0, GRAVITY], np.float32)))
+            tau = 0.1 * (k + 1)
+            c = np.array([0.5 * tau * tau, 0.0, 0.0], np.float32)
+            pose = Pose(jnp.eye(3), jnp.asarray(-c))
             f.process_frame(pose, t)
         assert f.mode == FuserMode.TRACKING
         assert f.metric_scale is not None
+        assert 0.2 < f.metric_scale < 5.0, f.metric_scale
         assert f.pose_prior() is not None
 
 

@@ -52,7 +52,7 @@ def measure_repeatability(pairs: int = 12, width: int = 320,
     traj = {"orbit": trajectory_pose_orbit, "sweep": trajectory_pose,
             "fig8": trajectory_pose_fig8}[trajectory]
     s = golden_path_settings()
-    fes = s.FeatureExtractorSettings
+    fes = s.MonoSettings.MonoCamera.FeatureExtractorSettings
     sx, sy = width / 640.0, height / 480.0
     fx, fy, cx, cy = FX * sx, FY * sy, CX * sx, CY * sy
     cam = jnp.array([fx, fy, cx, cy], jnp.float32)

@@ -347,6 +347,32 @@ def phase_prof(trials: int, reps: int, only: set[str] | None) -> None:
         d["window"].problem,
         BAState.from_problem(d["window"].problem),
         widths, jnp.float32(bas.MaxOutlierError ** 2))[:2]
+    # --- small-tier BA variant (adaptive-padding experiment): the full-cap
+    # shapes (32 cams / 2048 pts / 4096 obs) are mostly padding while the
+    # map is small; these stages measure the same window at 16/1024/2048 to
+    # size the two-tier lax.cond before committing to it ---
+    _small = dict(max_cams=16, max_points=1024, max_obs=2048,
+                  theta0=cs.CovisMinThreshold,
+                  upper_connections=cs.UpperConnectionsForBA,
+                  lower_connections=cs.LowerConnectionsForBA,
+                  theta_min=cs.CovisMinThreshold,
+                  theta_step=cs.CovisBaStepThreshold,
+                  theta_max_steps=cs.MaxSteps)
+    window_small_c = jax.jit(
+        lambda mm: build_local_ba_window(mm, ki, **_small))(m)
+    inputs["window_small"] = window_small_c
+    stages["ba_window_build_small"] = lambda d: build_local_ba_window(
+        d["m"], ki, **_small).problem
+    stages["ba_lm4_small"] = lambda d: step_bundle_adjust(
+        d["window_small"].problem,
+        BAState.from_problem(d["window_small"].problem),
+        widths, jnp.float32(bas.MaxOutlierError ** 2))[:2]
+    stages["apply_ba_small"] = lambda d: apply_ba_results(
+        d["m"], d["window_small"],
+        BAState.from_problem(d["window_small"].problem).poses,
+        BAState.from_problem(d["window_small"].problem).points,
+        jnp.zeros((2048,), bool),
+        fes.NumLevels, fes.ScaleFactor)
     stages["apply_ba"] = lambda d: apply_ba_results(
         d["m"], d["window"], d["st_poses"], d["st_points"], d["out"],
         fes.NumLevels, fes.ScaleFactor)

@@ -342,6 +342,21 @@ def main():
     stage("stream warm chunks done")
     snap = sess.snapshot_state()
     kf_snap = int(np.asarray(sess.map.kf_valid).sum())
+    # throwaway warm pass, identical in shape to a timed pass (restore →
+    # stream the full window → flush): the workload's point count crosses
+    # the small-bucket growth trigger mid-pass (pipeline bucketed banks),
+    # so the first streamed window compiles the full-bucket executables +
+    # the mid-pass drain shapes — 2.9 s of one-time cost that otherwise
+    # lands inside timed pass 1 (measured 3.68 s vs 0.78 s for later
+    # passes). Budget-gated: in a terrible relay phase, skip it and let the
+    # median absorb pass 1 instead.
+    if time.perf_counter() - t_start < 460:
+        warm_len = ((N_FRAMES - i0) // CHUNK) * CHUNK
+        sess.process_frame_stream(bank, ts_all, ids_all, start=i0,
+                                  stop=i0 + warm_len, chunk=CHUNK)
+        sess.flush_chunks()
+        stage("throwaway warm pass done")
+    sess.restore_state(snap)
 
     # decomposition instrumentation (VERDICT r3 #1a): split each pass into
     # resolution time (device→host group fetches — blocks on device compute,
@@ -408,6 +423,8 @@ def main():
           f"{[(round(a, 3), round(b, 3)) for a, b in pass_decomp]}; "
           f"keyframes at snapshot {kf_snap}, in map after last pass "
           f"{int(np.asarray(sess.map.kf_valid).sum())}; "
+          f"points after last pass {int(np.asarray(sess.map.mp_valid).sum())} "
+          f"(bank capacity {sess.map.capacity[:2]}); "
           f"loops_closed {sess.n_loops_closed}",
           file=sys.stderr)
     med = float(np.median(pass_times)) / pass_len

@@ -40,6 +40,21 @@ def empty_index(max_keyframes: int, num_words: int = 64) -> BowIndex:
     )
 
 
+def grow_index(index: BowIndex, max_keyframes: int) -> BowIndex:
+    """Pad the per-keyframe rows to a larger keyframe capacity (bucketed
+    map growth, worldmap.map_state.grow_map). Vocabulary state (anchors,
+    idf, trained) is keyframe-capacity-independent."""
+    K = index.kf_has.shape[0]
+    assert max_keyframes >= K, (K, max_keyframes)
+    pad = max_keyframes - K
+    if pad == 0:
+        return index
+    return index._replace(
+        kf_vectors=jnp.pad(index.kf_vectors, ((0, pad), (0, 0))),
+        kf_has=jnp.pad(index.kf_has, (0, pad)),
+    )
+
+
 def assign_words(index: BowIndex, desc: jax.Array, valid: jax.Array) -> jax.Array:
     """(N,) int32 word id per descriptor (FindLeafNode over the flat vocab)."""
     d = hamming_matrix(desc, index.anchors)

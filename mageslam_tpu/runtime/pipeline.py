@@ -159,15 +159,26 @@ class SlamSession:
                 .at[12].set(image_width).at[13].set(image_height)
 
         self.N = b.MaxFeatures
-        self.map = empty_map(b.MaxKeyframes, b.MaxMapPoints, self.N,
-                             max_tethers=b.MaxTethers)
+        # Bucketed bank capacity (the TPU analog of the reference's growing
+        # std::vectors): sessions START in a small keyframe/point bucket and
+        # pad-copy into the full Budgets capacity when the map approaches
+        # the small bucket (_maybe_grow_banks). Every (K,·)/(P,·)-shaped op
+        # in tracking and mapping scales with bank capacity, so a young map
+        # stops paying full-capacity FLOPs — measured on chip: the guided
+        # cascade + track-local-map pass is dominated by P=8192 padding
+        # while <1k points are live. Cores are jit-cached per shape, so the
+        # crossing costs one recompile burst, exactly once per session.
+        self._bucket_small = (min(48, b.MaxKeyframes),
+                              min(2048, b.MaxMapPoints))
+        self.map = empty_map(self._bucket_small[0], self._bucket_small[1],
+                             self.N, max_tethers=b.MaxTethers)
         self.history = TrackingHistory.empty(b.TrackingHistoryLength, self.N)
         self.pose_history = PoseHistory.empty(
             4096, connections=self.settings.PoseHistorySettings
             .InitalInterpolationConnections)
         self.key = jax.random.PRNGKey(seed)
 
-        self.bow = empty_index(b.MaxKeyframes,
+        self.bow = empty_index(self._bucket_small[0],
                                num_words=64)
         # online BoW training pool: descriptors accumulate over the first
         # TrainingFrames frames, then the vocabulary retrains ONCE and all
@@ -220,6 +231,12 @@ class SlamSession:
         self.loop_det_stats = dict.fromkeys(
             ("deferred", "resolved", "stale_slot", "closed", "requeued",
              "same_loop_dropped"), 0)
+        # bucketed bank growth: set when live counts approach the small
+        # bucket, serviced at the next safe point (no in-flight chunks /
+        # pipelined frames / deferred detections / offload referencing the
+        # old shapes)
+        self._grow_pending = False
+        self._counts_core = None
         # mapping offload (enable_mapping_offload): None = sync mapping
         self._mapping_device = None
         self._offload_core = None
@@ -567,6 +584,8 @@ class SlamSession:
         (stereo PrimaryTrackingCamera — the secondary camera's rescaled
         calibration); None uses the session camera."""
         self._frame_cam = cam
+        if self._grow_pending:
+            self._service_bank_growth()
         try:
             self._accumulate_bow_training(feats.desc, feats.valid)
             if not self.initialized:
@@ -1161,6 +1180,7 @@ class SlamSession:
         fsk = jnp.where(gate, jnp.where(accepted, 0, fsk + 1), fsk)
         fsr = jnp.where(gate, jnp.minimum(fsr + 1, 10_000), fsr)
         n_kf = jnp.sum(m.kf_valid.astype(jnp.int32))
+        n_mp = jnp.sum(m.mp_valid.astype(jnp.int32))
         flags = jnp.stack([
             gate.astype(jnp.int32), res.tracked_count,
             accepted.astype(jnp.int32)])
@@ -1194,16 +1214,18 @@ class SlamSession:
             hash32 = hash32 ^ (n_kf.astype(jnp.uint32) * jnp.uint32(668265263))
             digest = ((hash32 ^ (hash32 >> 8))
                       & jnp.uint32(0xFFFFFF)).astype(jnp.float32)
-        return (m, h, ph, fsk, fsr), (res.frame, flags, ki, n_kf, digest)
+        return (m, h, ph, fsk, fsr), (res.frame, flags, ki, n_kf, n_mp,
+                                      digest)
 
     @staticmethod
-    def _chunk_summary(frames_out, flags, kis, fsks, nkfs, digests):
-        """(C, 19) per-frame summary: flags(3) + R(9) + t(3) + keyframe
+    def _chunk_summary(frames_out, flags, kis, fsks, nkfs, nmps, digests):
+        """(C, 20) per-frame summary: flags(3) + R(9) + t(3) + keyframe
         slot(1) + frames_since_keyframe-after(1) + keyframes-in-map(1) +
-        state digest(1) — ONE device→host fetch per chunk (per-buffer
-        fetches are one relay round trip EACH through a remote TPU
-        attachment; the n_kf column spares the loop-closure gate its own
-        fetch per keyframe; the digest column feeds the Determinator)."""
+        points-in-map(1) + state digest(1) — ONE device→host fetch per
+        chunk (per-buffer fetches are one relay round trip EACH through a
+        remote TPU attachment; the n_kf column spares the loop-closure gate
+        its own fetch per keyframe; the n_mp column drives the bank-growth
+        trigger; the digest column feeds the Determinator)."""
         C = flags.shape[0]
         return jnp.concatenate([
             flags.astype(jnp.float32),
@@ -1212,6 +1234,7 @@ class SlamSession:
             kis.astype(jnp.float32)[:, None],
             fsks.astype(jnp.float32)[:, None],
             nkfs.astype(jnp.float32)[:, None],
+            nmps.astype(jnp.float32)[:, None],
             digests.astype(jnp.float32)[:, None],
         ], axis=1)
 
@@ -1234,17 +1257,18 @@ class SlamSession:
 
             def body(carry, xs):
                 image, ts, fid = xs
-                carry, (frame_out, flags, ki, n_kf, dig) = \
+                carry, (frame_out, flags, ki, n_kf, n_mp, dig) = \
                     self._scan_frame_body(carry, image, ts, fid, map_scale)
                 fsk = carry[3]
-                return carry, (frame_out, flags, ki, fsk, n_kf, dig)
+                return carry, (frame_out, flags, ki, fsk, n_kf, n_mp, dig)
 
             (m, h, ph, fsk, fsr), \
-                (frames_out, flags, kis, fsks, nkfs, digs) = jax.lax.scan(
+                (frames_out, flags, kis, fsks, nkfs, nmps, digs) = \
+                jax.lax.scan(
                     body, (map_state, history, pose_history, fsk0, fsr0),
                     (images, timestamps, frame_ids))
             summary = self._chunk_summary(frames_out, flags, kis, fsks, nkfs,
-                                          digs)
+                                          nmps, digs)
             return m, h, ph, frames_out, summary, fsk, fsr
 
         return jax.jit(chunk_step)
@@ -1264,17 +1288,18 @@ class SlamSession:
                     ts_bank, start + i, 0, keepdims=False)
                 fid = jax.lax.dynamic_index_in_dim(
                     fid_bank, start + i, 0, keepdims=False)
-                carry, (frame_out, flags, ki, n_kf, dig) = \
+                carry, (frame_out, flags, ki, n_kf, n_mp, dig) = \
                     self._scan_frame_body(carry, image, ts, fid, map_scale)
                 fsk = carry[3]
-                return carry, (frame_out, flags, ki, fsk, n_kf, dig)
+                return carry, (frame_out, flags, ki, fsk, n_kf, n_mp, dig)
 
             (m, h, ph, fsk, fsr), \
-                (frames_out, flags, kis, fsks, nkfs, digs) = jax.lax.scan(
+                (frames_out, flags, kis, fsks, nkfs, nmps, digs) = \
+                jax.lax.scan(
                     body, (map_state, history, pose_history, fsk0, fsr0),
                     jnp.arange(chunk))
             summary = self._chunk_summary(frames_out, flags, kis, fsks, nkfs,
-                                          digs)
+                                          nmps, digs)
             return m, h, ph, frames_out, summary, fsk, fsr
 
         return jax.jit(stream_step)
@@ -1309,6 +1334,8 @@ class SlamSession:
         lost_limit = \
             self.settings.TrackLocalMapSettings.TrackingLostCountUntilReloc
         while base < stop:
+            if self._grow_pending:
+                results.extend(self._service_bank_growth())
             if (not self.initialized or self.lost_count >= lost_limit
                     or base + chunk > stop):
                 results.extend(self.flush_chunks())
@@ -1365,6 +1392,10 @@ class SlamSession:
             for im, ts, fid in zip(images, timestamps, frame_ids):
                 results.append(self.process_frame(im, float(ts), int(fid)))
             return results
+        grown = self._service_bank_growth()
+        if grown:
+            return grown + self.process_frames_chunked(
+                images, timestamps, frame_ids, pipelined=pipelined)
         C = len(images)
         core = self._chunk_cores.get(C)
         if core is None:
@@ -1402,6 +1433,51 @@ class SlamSession:
             self._resolve_loop_dets()
         self._dev_counters = None
         return out
+
+    # ------------------------------------------------------------------ #
+    # bucketed bank growth (the TPU analog of the reference's growing
+    # std::vectors — Map.cpp's containers grow; XLA needs static shapes, so
+    # capacity moves in buckets and every core retraces once per bucket)
+
+    def _maybe_grow_banks(self, n_kf: int, n_mp: int) -> None:
+        """Arm bank growth when live counts approach the current bucket.
+        Thresholds leave headroom for in-flight pipelined frames; crossing
+        them only ARMS the growth — overflow in the gap is graceful (new
+        points/keyframes drop or cull exactly as at full capacity)."""
+        if self._grow_pending:
+            return
+        K, P, _ = self.map.capacity
+        b = self.settings.Budgets
+        if K >= b.MaxKeyframes and P >= b.MaxMapPoints:
+            return
+        if n_kf > int(0.75 * K) or n_mp > int(0.85 * P):
+            self._grow_pending = True
+
+    def _service_bank_growth(self) -> list:
+        """Execute an armed growth at a safe point. Returns frame results
+        surfaced by draining in-flight work (callers on the chunk path
+        prepend them to their own)."""
+        if not self._grow_pending:
+            return []
+        drained: list = []
+        if self._pending_chunks:
+            drained = self.flush_chunks()
+        if self._pending:
+            self.flush()
+        for _ in range(3):
+            if not self._pending_loop_dets:
+                break
+            self._resolve_loop_dets()
+        self._adopt_offloaded_mapping()
+        b = self.settings.Budgets
+        from ..bow.index import grow_index
+        from ..worldmap.map_state import grow_map
+
+        self.map = grow_map(self.map, b.MaxKeyframes, b.MaxMapPoints)
+        self.bow = grow_index(self.bow, b.MaxKeyframes)
+        self._dev_counters = None
+        self._grow_pending = False
+        return drained
 
     # live-session state fields rewound by snapshot_state/restore_state
     # (everything mutated by the frame loop; compiled cores, settings and
@@ -1446,6 +1522,7 @@ class SlamSession:
         self._pending_loop_dets = []
         self._offload_pending = None
         self._dev_counters = None
+        self._grow_pending = False   # bank capacity reverts with snap["map"]
         for a in self._SNAP_ATTRS:
             setattr(self, a, snap[a])
         self._bow_pool = list(snap["_bow_pool"])
@@ -1508,6 +1585,11 @@ class SlamSession:
             pose_t = s[:, 12:15]
             kis = s[:, 15].astype(np.int64)
             fsks = s[:, 16].astype(np.int64)
+            # bank-growth trigger rides the summary (no extra fetch); the
+            # growth itself runs at the next safe point (entry-point
+            # _service_bank_growth — these frames' own chunks may still be
+            # in flight against the current shapes)
+            self._maybe_grow_banks(int(s[-1, 17]), int(s[-1, 18]))
             for k, frame_id in enumerate(frame_ids):
                 ok, tracked, accepted = all_flags[k]
                 if not ok:
@@ -2023,7 +2105,10 @@ class SlamSession:
                     )
                 return run
 
-            full_caps = (b.MaxBaCameras, b.MaxBaPoints, b.MaxBaObservations)
+            K_live, P_live, N_live = map_state.capacity
+            full_caps = (min(b.MaxBaCameras, K_live),
+                         min(b.MaxBaPoints, P_live),
+                         min(b.MaxBaObservations, K_live * N_live))
             small_caps = (min(16, full_caps[0]), min(1024, full_caps[1]),
                           min(2048, full_caps[2]))
             if small_caps == full_caps:
@@ -2163,6 +2248,17 @@ class SlamSession:
             # BoW.AddImage for the new keyframe (MappingWorker.cpp:187-192)
             # + loop detection, one compiled dispatch
             self._post_keyframe(frame, ki_i, frame_id)
+            # bank-growth trigger (sync path): one tiny counts fetch per
+            # keyframe, only while the banks are below full capacity
+            b = self.settings.Budgets
+            K, P, _ = self.map.capacity
+            if K < b.MaxKeyframes or P < b.MaxMapPoints:
+                if self._counts_core is None:
+                    self._counts_core = jax.jit(lambda m: jnp.stack(
+                        [jnp.sum(m.kf_valid.astype(jnp.int32)),
+                         jnp.sum(m.mp_valid.astype(jnp.int32))]))
+                n_kf, n_mp = np.asarray(self._counts_core(self.map))
+                self._maybe_grow_banks(int(n_kf), int(n_mp))
 
     # ------------------------------------------------------------------ #
     def _global_ba_step_fn(self):
@@ -2220,10 +2316,15 @@ class SlamSession:
             from functools import partial
 
             def _build(map_state, ki):
+                # caps clamp to the LIVE bank capacity (bucketed growth:
+                # a small-bucket map must not build a 256-cam window); the
+                # mins are trace-time constants, so jit retraces per bucket
+                K_live, P_live, N_live = map_state.capacity
                 w = build_local_ba_window(
                     map_state, ki,
-                    max_cams=b.MaxKeyframes, max_points=b.MaxMapPoints,
-                    max_obs=b.MaxGlobalBaObservations,
+                    max_cams=min(b.MaxKeyframes, K_live),
+                    max_points=min(b.MaxMapPoints, P_live),
+                    max_obs=min(b.MaxGlobalBaObservations, K_live * N_live),
                     global_window=True,
                 )
                 return w, BAState.from_problem(w.problem)

@@ -131,6 +131,28 @@ def empty_map(max_keyframes: int, max_points: int, max_features: int,
     )
 
 
+def grow_map(ms: MapState, max_keyframes: int, max_points: int) -> MapState:
+    """Copy the map into larger keyframe/point banks (bucketed capacity
+    growth — the TPU analog of the reference's std::vector growth: fixed
+    shapes per bucket, one pad-copy dispatch at the crossing). Slot ids are
+    preserved (capacity only APPENDS empty slots), so kf_assoc point ids,
+    pose-history keyframe connections and BoW rows all stay valid. New
+    slots carry exactly empty_map's fill values."""
+    K, P, N = ms.capacity
+    K2, P2 = max_keyframes, max_points
+    assert K2 >= K and P2 >= P, (ms.capacity, K2, P2)
+    base = empty_map(K2, P2, N, max_tethers=ms.tether_owner.shape[0])
+
+    def pad_into(empty_leaf, leaf):
+        if empty_leaf.shape == leaf.shape:
+            return leaf
+        return jax.lax.dynamic_update_slice(
+            empty_leaf, leaf.astype(empty_leaf.dtype),
+            (0,) * leaf.ndim)
+
+    return jax.tree.map(pad_into, base, ms)
+
+
 def compute_dmin_dmax(distance: jax.Array, octave: jax.Array, num_levels: int,
                       scale_factor: float) -> tuple[jax.Array, jax.Array]:
     """Scale-invariance viewing range (Map/MappingMath.h:32-41): the half-octave

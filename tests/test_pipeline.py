@@ -299,13 +299,19 @@ class TestChunkedFrameLoop:
             start=40, stop=52, chunk=4)
 
         assert len(got) == len(ref) and len(got_s) == len(ref)
+        # tolerance: the sync path's mapping runs in its own executable
+        # while the chunk/stream paths embed it in the scan — XLA fuses and
+        # reassociates float reductions differently per compilation context,
+        # and the drift compounds over the 12 keyframed frames (measured
+        # 1.0e-4 at the small-bucket shapes). Semantic parity (states,
+        # keyframe events, counters) stays exact.
         for a, b, c in zip(ref, got, got_s):
             assert a.state == b.state == c.state
             if a.pose is not None:
                 np.testing.assert_allclose(np.asarray(a.pose.t),
-                                           np.asarray(b.pose.t), atol=1e-4)
+                                           np.asarray(b.pose.t), atol=4e-4)
                 np.testing.assert_allclose(np.asarray(a.pose.t),
-                                           np.asarray(c.pose.t), atol=1e-4)
+                                           np.asarray(c.pose.t), atol=4e-4)
 
 
 class TestChunkedExploring:
@@ -394,10 +400,15 @@ class TestDeferredLoopDets:
     def test_resolution_guards_and_flag_riding(self):
         """Chunk/stream loop closure defers the detected-flag read onto the
         next group summary fetch (_resolve_loop_dets). Mechanism contract:
-        a hit on a still-live slot applies; a hit whose keyframe slot was
-        culled and re-used since dispatch is dropped (closing against the
-        new occupant would poison the map); a miss is dropped. Covers both
-        the rides-the-fetch (flags=) and the flush (fetch-here) forms."""
+        a hit whose keyframe slot was culled and re-used since dispatch is
+        dropped (closing against the new occupant would poison the map); a
+        hit on a still-live slot applies; a same-batch sibling hit whose
+        cluster OVERLAPS the applied closure is dropped without a
+        re-attempt (re-closing residual duplicates stacks corrections —
+        EVAL.md round 5); a miss is dropped. The distinct-cluster
+        re-attempt path is covered with real detections by
+        test_stream_loop_closure.py. Covers both the rides-the-fetch
+        (flags=) and the flush (fetch-here) forms."""
         from mageslam_tpu.runtime.loop_closure import LoopDetection
 
         sess = SlamSession(cam=CAM, image_width=int(W), image_height=int(H))
@@ -409,20 +420,27 @@ class TestDeferredLoopDets:
         sess._apply_loop_closure = lambda det, fr, ki: applied.append(int(ki))
 
         def fake_det(hit):
+            # cluster bit 0 shared by every det: same-loop siblings
             return LoopDetection(
                 detected=jnp.asarray(hit), reloc_pose=None,
                 reloc_assoc=jnp.zeros((4,), jnp.int32),
-                scale=jnp.float32(1.0), cluster_mask=jnp.zeros((K,), bool))
+                scale=jnp.float32(1.0),
+                cluster_mask=jnp.zeros((K,), bool).at[0].set(True))
 
         # rides-the-fetch form: flags pre-fetched by the group resolution
         sess._pending_loop_dets = [
-            (fake_det(True), "frameA", 3, 77),    # live slot → applies
             (fake_det(True), "frameB", 5, 42),    # slot re-used → dropped
-            (fake_det(False), "frameC", 3, 77),   # miss → dropped
+            (fake_det(True), "frameA", 3, 77),    # live slot → applies
+            (fake_det(True), "frameC", 3, 77),    # same-loop sibling → drop
+            (fake_det(False), "frameD", 3, 77),   # miss → dropped
         ]
-        sess._resolve_loop_dets(flags=np.array([1.0, 1.0, 0.0], np.float32))
+        sess._resolve_loop_dets(
+            flags=np.array([1.0, 1.0, 1.0, 0.0], np.float32))
         assert applied == [3]
         assert sess._pending_loop_dets == []
+        st = sess.loop_det_stats
+        assert st["stale_slot"] == 1 and st["closed"] == 1, st
+        assert st["same_loop_dropped"] == 1 and st["requeued"] == 0, st
 
         # flush form: no pre-fetched flags, resolver reads the devices itself
         sess._pending_loop_dets = [(fake_det(True), "frameA", 3, 77)]

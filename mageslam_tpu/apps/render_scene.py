@@ -381,12 +381,17 @@ def trajectory_pose_fig8(i: int, n_frames: int) -> tuple[np.ndarray, np.ndarray]
     lobe (the circuit trajectory's side-window geometry — pure along-track
     viewing puts translation at the focus of expansion). Outward flips
     sides when the winding flips, so the yaw offset ramps smoothly through
-    zero across each crossing (±1 rad over ~23 frames ≈ 2.5°/frame — the
-    circuit's corner turn rate) instead of jumping 114°. Near the crossings
-    the view is briefly along-track (+x), which delays monocular init by
-    ~20 frames (the 5-point MaxPoseContributionZ gate refuses near-axis
-    motion) — expected, asserted by the figure-8 eval."""
-    t = (i / max(n_frames, 1)) % 1.0       # frame n_frames == frame 0
+    zero across each crossing instead of jumping 114°.
+
+    The sequence STARTS at mid-lobe-A (phase 0.25): the crossing region is
+    briefly along-track with the fastest pan (ramp + lobe turn ≈ 5°/frame)
+    — initializing there dies (measured: 5/324 tracked starting at the
+    crossing), while mid-lobe gives the full side view monocular init
+    wants. Revisit structure from phase 0.25: the t=0.5 crossing pass is
+    first-visit; t=1.0 revisits it (loop 1, lobe B's circuit closes);
+    t=1.25 revisits the start (loop 2, lobe A's circuit) — two distinct
+    closures within period + tail frames."""
+    t = (i / max(n_frames, 1) + 0.25) % 1.0   # frame n_frames == frame 0
     rl = 1.8
     if t < 0.5:                            # lobe A: CCW, center (0, 2.4)
         a = 2.0 * np.pi * (2.0 * t)
